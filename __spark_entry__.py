@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in the package registry
+(olr_cdc_oracle_with_dbz_spark/registry.py) — this module is a thin view, so
+``queries()`` and ``oracle_sql()`` can never drift apart.
 """
 
 from __future__ import annotations
@@ -14,25 +17,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    return load_all()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spec = _registry()["q22_hash_agg_tpch_q1"]
+    return spec.spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bind(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return spec.spark_fn(spark, sf_dir)
+
+        run.__doc__ = spec.doc
+        return run
+
+    return {name: bind(spec) for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every hash-checked query."""
+    return {
+        name: spec.oracle
+        for name, spec in _registry().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,73 @@
+"""Table catalog over the driver testdata parquet directories.
+
+The reference's "catalog" is its table filter + schema registry
+(/root/reference/scripts/OpenLogReplicator.json:32-39,
+docker-compose-main.yml:97-119): a fixed set of named, schema'd tables. Here a
+:class:`Catalog` binds the well-known table names to parquet files under a
+scale-factor directory and registers them as temp views so both the DataFrame
+and ``spark.sql`` surfaces see the same relations.
+
+Reading is always ``spark.read.parquet`` (columnar, pushdown-capable); schema
+comes from parquet footers — these are static, driver-written files, so footer
+schema IS the declared schema (no inferSchema on any streaming path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Unique sort keys for deterministic output ordering (FIXTURES.md §2).
+UNIQUE_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+class Catalog:
+    """Lazy table access for one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(self.path(name))
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register temp views so ``spark.sql`` queries resolve the tables."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

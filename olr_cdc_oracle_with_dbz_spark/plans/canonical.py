@@ -1,0 +1,69 @@
+"""Deterministic-output helpers for oracle-checked queries.
+
+The correctness gate runs every registered query in both Spark and DuckDB and
+hash-compares values. Floating-point aggregation is order-dependent, and Spark
+parallelizes aggregation while DuckDB may not — so any ``SUM(double)`` over
+many rows is nondeterministic across engines. The rules used by every checked
+query, on BOTH sides:
+
+1. **Exact sums**: ``SUM(CAST(x AS DECIMAL(38,12)))`` — decimal addition is
+   exact and order-independent; the double→decimal cast of identical input
+   doubles is identical in both engines (a double can never sit exactly on a
+   decimal half-way boundary, so round-nearest is unambiguous).
+2. **Render**: final numeric outputs become ``ROUND(CAST(dec AS DOUBLE), 6)``
+   — two deterministic scalar steps.
+3. **Averages / ratios**: exact decimal sums first, one double division last.
+4. **Variance/stddev/corr/covar**: computed from exact decimal moments
+   (sum, sum of squares, sum of products), never from the engines' native
+   accumulate-in-double implementations.
+5. **Event timestamps**: the ``events`` table is nanosecond parquet; Spark
+   truncates to microseconds on read, so DuckDB oracles cast
+   ``ts::TIMESTAMP`` (same truncation) before use.
+6. Every query ends with a total ``ORDER BY`` on a unique key set.
+
+These helpers build the Spark side; the matching SQL fragments are inlined in
+each spec's oracle string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Decimal wide enough for 100 TB-scale sums: 26 integer digits, 12 fraction.
+DEC = "decimal(38,12)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent exact sum of a double expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC))
+
+
+def render(col: Column, scale: int = 6) -> Column:
+    """Canonical double rendering of an exact decimal value."""
+    return F.round(col.cast("double"), scale)
+
+
+def sum6(col: Column | str) -> Column:
+    """``ROUND(CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE), 6)`` in one step."""
+    return render(dsum(col))
+
+
+def avg6(col: Column | str) -> Column:
+    """Exact-sum average rendered to 6 decimals (double division last)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(dsum(c).cast("double") / F.count(c), 6)
+
+
+def sql_sum6(expr: str) -> str:
+    """DuckDB fragment matching :func:`sum6`."""
+    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE), 6)"
+
+
+def sql_avg6(expr: str) -> str:
+    """DuckDB fragment matching :func:`avg6`."""
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / COUNT({expr}), 6)"
+    )

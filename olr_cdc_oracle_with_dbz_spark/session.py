@@ -1,0 +1,60 @@
+"""SparkSession factory with engine-wide configuration.
+
+Design notes (100 TB target, tested on local[32]):
+
+* AQE on: runtime re-planning (coalesce shuffle partitions, skew-join
+  splitting, dynamic broadcast) is the single biggest lever at scale and is
+  free to enable.
+* Session timezone pinned UTC: the reference pipeline ships source commit
+  timestamps through Avro as UTC instants (/root/reference/README.md:824
+  ``time.precision.mode: adaptive``); pinning the session TZ makes timestamp
+  rendering deterministic and oracle-comparable.
+* Arrow enabled: every pandas interchange (toPandas, pandas UDFs, the
+  multimodal mapInPandas operators) rides the vectorized Arrow path.
+* ``spark.sql.shuffle.partitions`` defaults to a small local-friendly value;
+  AQE coalesces further. On a real cluster this would be set to
+  ~2-3x total cores (or left to AQE with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet ns timestamps (events.ts) must not error; truncate to micros.
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # ANSI off: engine is permissive like the reference ingest
+    # (unknown-type passthrough, /root/reference/scripts/OpenLogReplicator.json:25).
+    "spark.sql.ansi.enabled": "false",
+    # Broadcast threshold: dims like region/nation/supplier always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    # Whole files of testdata are small; on the cluster this is the knob that
+    # sizes scan partitions (128 MB default is right for 100 TB parquet).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "olr-cdc-spark-engine", **extra_conf: str) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in {**_DEFAULTS, **extra_conf}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # If we attached to a pre-existing session (driver-owned), still pin the
+    # confs that are runtime-settable and correctness-critical.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

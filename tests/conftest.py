@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from olr_cdc_oracle_with_dbz_spark.session import get_spark
+
+    s = get_spark("olr-cdc-spark-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    from olr_cdc_oracle_with_dbz_spark.plans.parity import duckdb_connect
+
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
