@@ -25,9 +25,15 @@ def _registry():
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_confs(spark)
     spec = _registry()["q22_hash_agg_tpch_q1"]
     return spec.spark_fn(spark, "/root/testdata/sf0.001")
+
+
+def _pin_confs(spark: SparkSession) -> None:
+    """Correctness-critical runtime confs (the driver owns the session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -35,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bind(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _pin_confs(spark)
             return spec.spark_fn(spark, sf_dir)
 
         run.__doc__ = spec.doc

@@ -59,7 +59,19 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self.path(name))
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
+                # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to
+                # microseconds — same as DuckDB's ns→µs TIMESTAMP cast.
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import LongType
+
+                if isinstance(df.schema["ts"].dataType, LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

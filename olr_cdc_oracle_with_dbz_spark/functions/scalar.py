@@ -1,0 +1,272 @@
+"""Scalar function surface (SURVEY §2B Q40–Q46).
+
+All built-in ``pyspark.sql.functions`` — JVM-side, codegen'd, never Python.
+Each query is a function matrix over one table; the oracle uses DuckDB's
+equivalent (names differ: instr↔strpos, split↔string_split, …). Only the
+semantic intersection is exposed (e.g. no day-of-week: Sunday=1 in Spark,
+0 in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+
+@register(
+    "q40_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 4)              AS sub4,
+           upper(p_name)                     AS up,
+           lower(p_brand)                    AS lo,
+           trim('  ' || p_name || ' ')       AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded,
+           p_brand || ':' || p_type          AS cat,
+           length(p_name)                    AS len,
+           string_split(p_name, ' ')[1]      AS first_word,
+           replace(p_name, ' ', '_')         AS repl,
+           strpos(p_name, 'widget')          AS pos_widget
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function matrix over part."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("padded"),
+        F.concat_ws(":", "p_brand", "p_type").alias("cat"),
+        F.length("p_name").alias("len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.instr(F.col("p_name"), "widget").alias("pos_widget"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q41_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                               AS y,
+           month(o_orderdate)                              AS m,
+           day(o_orderdate)                                AS d,
+           dayofyear(o_orderdate)                          AS doy,
+           o_orderdate + INTERVAL 7 DAY                    AS plus_week,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+           date_trunc('month', o_orderdate)                AS month_start,
+           CAST(o_orderdate AS DATE)                       AS as_date,
+           CAST(epoch(o_orderdate) AS BIGINT)              AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d')               AS ymd
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function matrix over orders (session TZ pinned UTC)."""
+    o = Catalog(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofyear(d).alias("doy"),
+        (d + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since"),
+        F.date_trunc("month", d).alias("month_start"),
+        d.cast("date").alias("as_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM-dd").alias("ymd"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q42_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                 AS r1,
+           FLOOR(l_extendedprice)                    AS flr,
+           CEIL(l_extendedprice)                     AS cl,
+           ABS(l_discount - 0.05)                    AS ad,
+           ROUND(sqrt(l_extendedprice), 6)           AS sq,
+           ROUND(ln(l_extendedprice), 6)             AS lg,
+           ROUND(exp(l_discount), 6)                 AS ex,
+           ROUND(pow(l_quantity, 2), 6)              AS p2,
+           l_orderkey % 7                            AS m7,
+           sign(l_discount - 0.05)                   AS sg
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function matrix (libm differences absorbed by round-6)."""
+    li = Catalog(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("r1"),
+        F.floor(price).alias("flr"),
+        F.ceil(price).alias("cl"),
+        F.abs(F.col("l_discount") - 0.05).alias("ad"),
+        F.round(F.sqrt(price), 6).alias("sq"),
+        F.round(F.log(price), 6).alias("lg"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q43_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)           AS first_elem,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_elem,
+           len(list_distinct(embedding))                    AS n_distinct,
+           ROUND(CAST(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS DOUBLE), 6) AS head_sum
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column (size/index/sort/distinct/slice)."""
+    e = Catalog(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb.getItem(0).cast("double"), 6).alias("first_elem"),
+        F.round(F.sort_array(emb).getItem(0).cast("double"), 6).alias("min_elem"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                F.slice(emb, 1, 8),
+                F.lit(0).cast("decimal(30,9)"),
+                # float→double widening is exact in both engines; casting the
+                # float straight to decimal disagrees at the 7th digit.
+                lambda acc, x: (acc + x.cast("double").cast("decimal(18,9)")).cast(
+                    "decimal(30,9)"
+                ),
+            ).cast("double"),
+            6,
+        ).alias("head_sum"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q43b_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    ORDER BY doc_id, token
+    """,
+)
+def q43b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / UNNEST of a split array (UDTF-shaped lateral view)."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .orderBy("doc_id", "token")
+    )
+
+
+@register(
+    "q44_struct_map",
+    oracle="""
+    SELECT n_nationkey,
+           {'name': n_name, 'region': n_regionkey}.name     AS s_name,
+           {'name': n_name, 'region': n_regionkey}.region   AS s_region,
+           map([n_name], [n_regionkey])[n_name][1]          AS m_val
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q44_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access, map build + key lookup."""
+    n = Catalog(spark, sf_dir).nation
+    st = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    mp = F.create_map(F.col("n_name"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        st.getField("name").alias("s_name"),
+        st.getField("region").alias("s_region"),
+        mp.getItem(F.col("n_name")).alias("m_val"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "q45_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing')           AS missing
+    FROM events ORDER BY event_id
+    """,
+)
+def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q45b_from_to_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS parsed_k,
+           '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS rendered
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+)
+def q45b_from_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with explicit schema + to_json rendering."""
+    ev = Catalog(spark, sf_dir).events
+    parsed = F.from_json("props", "k bigint")
+    rendered = F.to_json(F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type")))
+    return (
+        ev.filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            parsed.getField("k").alias("parsed_k"),
+            rendered.alias("rendered"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q46_hash_misc",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)                                        AS h_md5,
+           sha256(p_name)                                     AS h_sha,
+           greatest(p_size, 25)                               AS g,
+           least(p_size, 25)                                  AS l,
+           CAST(('0x' || substr(md5(p_name), 1, 15)) AS BIGINT) AS h_int
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5/sha2/greatest/least + portable hash→int (hex prefix of md5)."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2(F.col("p_name"), 256).alias("h_sha"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("g"),
+        F.least(F.col("p_size"), F.lit(25)).alias("l"),
+        F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("bigint").alias("h_int"),
+    ).orderBy("p_partkey")

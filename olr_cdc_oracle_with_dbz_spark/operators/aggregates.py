@@ -20,6 +20,7 @@ from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
     avg6,
     dsum,
+    render,
     sql_avg6,
     sql_sum6,
     sum6,
@@ -71,4 +72,279 @@ def q22_hash_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q23_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(DISTINCT l_orderkey) AS n_order
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate (Catalyst expands to multi-pass plan)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.countDistinct("l_orderkey").alias("n_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q24_global_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {sql_sum6('o_totalprice')} AS total,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    """,
+)
+def q24_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate."""
+    o = Catalog(spark, sf_dir).orders
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        sum6("o_totalprice").alias("total"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@register(
+    "q25_rollup",
+    oracle="""
+    SELECT coalesce(n.n_name, '(all)') AS nat,
+           coalesce(o.o_orderpriority, '(all)') AS prio,
+           GROUPING(n.n_name) AS g_nat,
+           GROUPING(o.o_orderpriority) AS g_prio,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY nat, prio, g_nat, g_prio
+    """,
+)
+def q25_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING indicators (CUBE/GROUPING SETS share the codepath)."""
+    cat = Catalog(spark, sf_dir)
+    joined = cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("n_name").cast("long").alias("g_nat"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nat"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("prio"),
+            "g_nat",
+            "g_prio",
+            "n_orders",
+        )
+        .orderBy("nat", "prio", "g_nat", "g_prio")
+    )
+
+
+@register(
+    "q25b_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY rf, ls, g_rf, g_ls
+    """,
+)
+def q25b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+        )
+        .orderBy("rf", "ls", "g_rf", "g_ls")
+    )
+
+
+@register(
+    "q26_having",
+    oracle=f"""
+    SELECT l_orderkey, {sql_sum6('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,12))) > 150
+    ORDER BY l_orderkey
+    """,
+)
+def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter on an exact decimal sum."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey", render(F.col("_sq")).alias("sum_qty"))
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "q27_stats_aggs",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_price,
+           ROUND(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS std_price,
+           ROUND((sxy - sx*sy/n) / (n - 1), 6) AS covar_pq,
+           ROUND((sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 6) AS corr_pq
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q27_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/var/corr/covar computed from exact decimal moments.
+
+    Native double accumulators are order-dependent across engines; the
+    two-pass moment formulation over exact sums is deterministic and still
+    a single Spark aggregate (all five moments in one pass).
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).cast("double").alias("sx"),
+        dsum(x * x).cast("double").alias("sxx"),
+        dsum(y).cast("double").alias("sy"),
+        dsum(y * y).cast("double").alias("syy"),
+        dsum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_pq"),
+        F.round(
+            (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_pq"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q28_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q28_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile / median (linear interpolation both engines)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q29_distinct_exact_vs_approx",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q29_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact form of the approx pair (hash-checked); approx variant below."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("q29b_approx_aggs", oracle=None)
+def q29b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX: HLL count-distinct + approx percentile (bench-only, rows check).
+
+    At 100 TB these replace their exact forms: HLL sketches merge map-side
+    (no shuffle of distinct values), approx_percentile bounds state.
+    """
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q30_filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           {sql_sum6('CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END')} AS disc_revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q30_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+            sum6(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+            ).alias("disc_revenue"),
+        )
+        .orderBy("l_returnflag")
     )

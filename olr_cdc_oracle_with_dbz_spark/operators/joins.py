@@ -1,0 +1,297 @@
+"""Join operators (SURVEY §2B Q13–Q21).
+
+Scale design notes:
+
+* Fact⋈fact joins (Q13, Q20) are declared with plain ``join`` so Catalyst
+  picks sort-merge/shuffled-hash and AQE can split skewed partitions at
+  runtime; both sides shuffle on the join key once and the key partitioning
+  is reused downstream.
+* Dimension joins (Q14, Q20) wrap the small side in ``F.broadcast`` — at
+  100 TB nation/region/supplier stay KB–MB sized, so the fact side never
+  shuffles for them.
+* The range self-join (Q18) pre-partitions both sides on the equi-key
+  (``user_id``) so the theta condition only evaluates within a key group —
+  the plan is a shuffled equi-join with a residual range filter, never a
+  cartesian product.
+* As-of (Q21) avoids a join entirely: window `row_number` over the
+  time-filtered side — one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+
+@register(
+    "q13_inner_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def q13_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join of the two fact tables (shuffle join, AQE-managed)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q14_broadcast_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join — explicit hint; plan must show BroadcastHashJoin."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.nation.join(
+            F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "q15_outer_joins",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.o_orderkey, -1) AS o_key,
+           coalesce(o.o_orderstatus, '(no order)') AS status
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+    ORDER BY c_custkey, o_key
+    """,
+)
+def q15_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join incl. customers with no (urgent) orders.
+
+    Null join outputs are coalesced to sentinels so the checked output has
+    no nullable-int columns (engine-portable), while the outer semantics
+    are still exercised (sentinel rows exist only for unmatched keys).
+    """
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cat.customer.join(o, cond, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("o_key"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(no order)")).alias("status"),
+        )
+        .orderBy("c_custkey", "o_key")
+    )
+
+
+@register(
+    "q15b_full_outer",
+    oracle="""
+    WITH big AS (SELECT o_custkey, count(*) AS n FROM orders
+                 GROUP BY o_custkey HAVING count(*) > 12),
+         rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    SELECT coalesce(b.o_custkey, -1) AS bk, coalesce(r.c_custkey, -1) AS rk
+    FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    ORDER BY bk, rk
+    """,
+)
+def q15b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two derived sets with partial overlap."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 12)
+        .select("o_custkey")
+    )
+    rich = cat.customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "outer")
+        .select(
+            F.coalesce(F.col("o_custkey"), F.lit(-1)).alias("bk"),
+            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("rk"),
+        )
+        .orderBy("bk", "rk")
+    )
+
+
+@register(
+    "q16_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def q16_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having ≥1 large order."""
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        cat.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q17_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q17_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q18_range_join",
+    oracle="""
+    SELECT e1.user_id, e1.event_id,
+           count(e2.event_id) AS follows_1h
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+     AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'purchase'
+    GROUP BY e1.user_id, e1.event_id
+    ORDER BY e1.user_id, e1.event_id
+    """,
+)
+def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range self-join: events within 1h after each purchase.
+
+    Equi-key on user_id keeps this a shuffled hash join with a residual
+    range predicate — no cartesian explosion at scale.
+    """
+    ev = Catalog(spark, sf_dir).events
+    e1 = ev.filter(F.col("event_type") == "purchase").alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"), F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.col("e2.event_id")).alias("follows_1h"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q19_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q19_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (dims only — never fact×fact)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.region.crossJoin(cat.nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q20_multiway_join",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_sum6('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q20_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way join; dims broadcast, facts shuffle once."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.lineitem.join(
+            cat.orders.filter(
+                F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(sum6(rev).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q21_asof_join",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-03-01 00:00:00'
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: latest event per user at a cutoff (DuckDB ASOF-JOIN equivalent).
+
+    Spark has no native as-of join; the idiomatic pattern is
+    filter + windowed row_number — a single shuffle on the key, no join.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.filter(F.col("ts") <= F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,178 @@
+"""Window functions + sort/limit (SURVEY §2B Q31–Q36).
+
+Window partitioning shuffles once on the partition key and sorts within
+partitions — at scale the partition key must be high-cardinality (customer,
+order, user) so no single partition exceeds executor memory. None of these
+use a global window (that would serialize on one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+
+@register(
+    "q31_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quart
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per customer."""
+    o = Catalog(spark, sf_dir).orders
+    by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(by_price).alias("rnk"),
+        F.dense_rank().over(by_price).alias("drnk"),
+        F.row_number().over(total).alias("rn"),
+        F.ntile(4).over(total).alias("quart"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q32_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           coalesce(lag(event_id)  OVER w, -1) AS prev_id,
+           coalesce(lead(event_id) OVER w, -1) AS next_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id
+                                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per user ordered by event time."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(whole).alias("last_type"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q33_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_rev,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS near_rev
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowsBetween running sum + rangeBetween sliding sum (exact decimal)."""
+    o = Catalog(spark, sf_dir).orders
+    dec_price = F.col("o_totalprice").cast(DEC)
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    near = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec_price).over(running).cast("double"), 6).alias("running_rev"),
+        F.round(F.sum(dec_price).over(near).cast("double"), 6).alias("near_rev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q34_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per order by price (windowed top-k pattern)."""
+    li = Catalog(spark, sf_dir).lineitem
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q35_multikey_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           nullif(o_orderstatus, 'O') AS maybe_null
+    FROM orders
+    ORDER BY maybe_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    """,
+)
+def q35_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort with NULLS FIRST (range-partitioned sort at scale)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_null"),
+    ).orderBy(
+        F.col("maybe_null").asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+@register(
+    "q36_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q36_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 — Spark plans TakeOrderedAndProject (no full sort)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

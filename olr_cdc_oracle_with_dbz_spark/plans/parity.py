@@ -38,10 +38,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if np.issubdtype(s.dtype, np.datetime64):
             s = s.astype("datetime64[us]")
         elif s.dtype == object:
-            # decimals / dates / None mix -> stringify stably
             first = s.dropna()
-            if len(first) and not isinstance(first.iloc[0], str):
-                s = s.map(lambda v: None if v is None else str(v))
+            if len(first):
+                import datetime
+                import decimal
+
+                v0 = first.iloc[0]
+                if isinstance(v0, decimal.Decimal):
+                    s = s.astype("float64")
+                elif isinstance(v0, datetime.date) and not isinstance(v0, datetime.datetime):
+                    s = pd.to_datetime(s).astype("datetime64[us]")
+                elif isinstance(v0, (list, tuple, np.ndarray)):
+                    s = s.map(lambda v: None if v is None else str(list(v)))
+                elif not isinstance(v0, str):
+                    s = s.map(lambda v: None if v is None else str(v))
         elif np.issubdtype(s.dtype, np.floating):
             s = s.astype("float64")
         elif np.issubdtype(s.dtype, np.integer):

@@ -28,8 +28,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Parquet ns timestamps (events.ts) must not error; truncate to micros.
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # Parquet TIMESTAMP(NANOS) is rejected by Spark's reader; read as long
+    # and let the Catalog convert ns→µs (events.ts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: engine is permissive like the reference ingest
     # (unknown-type passthrough, /root/reference/scripts/OpenLogReplicator.json:25).
     "spark.sql.ansi.enabled": "false",
