@@ -1,0 +1,114 @@
+"""Debezium envelope parse + unwrap + compaction (reference R4–R9 semantics).
+
+These are the reference pipeline's core dataflow operators re-expressed as
+DataFrame transforms, shared by the batch queries (Q50–Q54) and the
+streaming materializer (S1/S7):
+
+* :func:`parse_envelope` — R4/R5: JSON wire → typed envelope rows
+  (``from_json`` with the explicit envelope schema; never inferSchema).
+* :func:`unwrap` — R7 (``ExtractNewRecordState`` +
+  ``delete.handling.mode: rewrite``, /root/reference/README.md:844-848):
+  flatten to row images, deletes carry ``before.*`` and ``__deleted=true``.
+* :func:`compact_latest` — R8/R9 (``insert.mode: upsert`` +
+  ``delete.enabled: true``, /root/reference/README.md:839-845): latest event
+  per key wins, deletes drop the row.
+
+Scale notes: compaction is one shuffle on the primary key (window
+``row_number`` with partial pushdown via AQE); at 100 TB the key is
+high-cardinality so partitions stay balanced, and in streaming form the
+same transform runs per micro-batch over bounded input (foreachBatch MERGE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import ENVELOPE_SCHEMA
+
+#: product table primary key (set-up-orl.sql:195; pk.fields README.md:842)
+PK = "id"
+
+
+def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse Debezium-JSON strings into typed envelope rows (R4/R5).
+
+    Output columns: before, after (row structs), op, ts_ms, source struct
+    with ``_scn``/``_txid``/``_rowid`` promoted as metadata columns — the
+    total order key per OpenLogReplicator.json:24-26.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col), ENVELOPE_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.select(
+        "before",
+        "after",
+        "op",
+        "ts_ms",
+        F.col("source.scn").alias("_scn"),
+        F.col("source.txId").alias("_txid"),
+        F.col("source.rowId").alias("_rowid"),
+        F.col("source.schema").alias("_schema"),
+        F.col("source.table").alias("_table"),
+    )
+
+
+def source_filter(env: DataFrame, schema: str = "OLR_DB", table: str = "PRODUCT") -> DataFrame:
+    """R3: keep only the captured table (OpenLogReplicator.json:32-39)."""
+    return env.filter((F.col("_schema") == schema) & (F.col("_table") == table))
+
+
+def _image_cols(img: str) -> list[Column]:
+    """Typed projection of one row image; price is decimal-as-string."""
+    return [
+        F.col(f"{img}.id").alias("id"),
+        F.col(f"{img}.name").alias("name"),
+        F.col(f"{img}.description").alias("description"),
+        F.col(f"{img}.price").cast("decimal(10,2)").alias("price"),
+        F.col(f"{img}.stock").alias("stock"),
+        F.timestamp_millis(F.col(f"{img}.created_date")).alias("created_date"),
+        F.timestamp_millis(F.col(f"{img}.updated_date")).alias("updated_date"),
+    ]
+
+
+def unwrap(env: DataFrame) -> DataFrame:
+    """R7: flatten envelope → row image + ``__deleted`` rewrite.
+
+    Delete events carry only ``before`` — the rewritten row sources its
+    columns from the before image (README.md:846-848 semantics).
+    """
+    is_del = F.col("op") == "d"
+    img = F.when(is_del, F.col("before")).otherwise(F.col("after"))
+    flat = env.withColumn("_img", img).select(
+        F.col("_img.id").alias("id"),
+        F.col("_img.name").alias("name"),
+        F.col("_img.description").alias("description"),
+        F.col("_img.price").cast("decimal(10,2)").alias("price"),
+        F.col("_img.stock").alias("stock"),
+        F.timestamp_millis(F.col("_img.created_date")).alias("created_date"),
+        F.timestamp_millis(F.col("_img.updated_date")).alias("updated_date"),
+        is_del.alias("__deleted"),
+        "op",
+        "_scn",
+        "_txid",
+        "_rowid",
+    )
+    return flat
+
+
+def compact_latest(unwrapped: DataFrame, key: str = PK) -> DataFrame:
+    """R8/R9: keyed upsert compaction — latest ``_scn`` per key wins,
+    surviving deletes are dropped.
+
+    Per-key order is total because SCN is a total order over commits; Spark
+    cannot rely on arrival order across partitions (unlike the reference's
+    ``tasks.max=1`` serialization, README.md:805,837 — documented delta R20),
+    so ordering is always re-derived from ``(_scn)``.
+    """
+    w = Window.partitionBy(key).orderBy(F.col("_scn").desc())
+    return (
+        unwrapped.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("__deleted")))
+        .drop("_rn", "__deleted", "op", "_txid", "_rowid")
+    )

@@ -1,0 +1,173 @@
+"""CDC batch queries Q50–Q54 — the reference's dataflow, DuckDB-checkable.
+
+Both sides consume the SAME literal event history (cdc/fixtures.py): Spark
+parses the Debezium-JSON wire form; the oracle gets a VALUES relation of the
+flattened envelope. Hash-matching these proves the envelope→unwrap→compact
+pipeline reproduces the reference's Postgres end state
+(/root/reference/README.md:839-848).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import duckdb_values, json_lines
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+_V = duckdb_values()
+
+
+def _raw_events(spark: SparkSession) -> DataFrame:
+    """The fixture history as a one-column DataFrame of JSON strings."""
+    return spark.createDataFrame([(s,) for s in json_lines()], "value string")
+
+
+def _parsed(spark: SparkSession) -> DataFrame:
+    return E.source_filter(E.parse_envelope(_raw_events(spark)))
+
+
+@register(
+    "q50_envelope_parse",
+    oracle=f"""
+    WITH {_V}
+    SELECT scn,
+           op,
+           coalesce(txid, '(none)') AS txid,
+           rowid,
+           coalesce(b_id, -1) AS before_id,
+           coalesce(a_id, -1) AS after_id,
+           coalesce(a_name, '(none)') AS after_name,
+           CAST(coalesce(CAST(a_price AS DECIMAL(10,2)), -1) AS DOUBLE) AS after_price
+    FROM cdc_events ORDER BY scn
+    """,
+    tags=("cdc",),
+)
+def q50_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/R5: Debezium-JSON → typed envelope projection."""
+    env = _parsed(spark)
+    return env.select(
+        F.col("_scn").alias("scn"),
+        "op",
+        F.coalesce(F.col("_txid"), F.lit("(none)")).alias("txid"),
+        F.col("_rowid").alias("rowid"),
+        F.coalesce(F.col("before.id"), F.lit(-1)).alias("before_id"),
+        F.coalesce(F.col("after.id"), F.lit(-1)).alias("after_id"),
+        F.coalesce(F.col("after.name"), F.lit("(none)")).alias("after_name"),
+        F.coalesce(F.col("after.price").cast("decimal(10,2)"), F.lit(-1))
+        .cast("double")
+        .alias("after_price"),
+    ).orderBy("scn")
+
+
+@register(
+    "q51_unwrap",
+    oracle=f"""
+    WITH {_V}
+    SELECT scn,
+           CASE WHEN op = 'd' THEN b_id ELSE a_id END AS id,
+           CASE WHEN op = 'd' THEN b_name ELSE a_name END AS name,
+           coalesce(CASE WHEN op = 'd' THEN b_description ELSE a_description END, '(null)') AS description,
+           CAST(CAST(CASE WHEN op = 'd' THEN b_price ELSE a_price END AS DECIMAL(10,2)) AS DOUBLE) AS price,
+           CASE WHEN op = 'd' THEN b_stock ELSE a_stock END AS stock,
+           epoch_ms(CASE WHEN op = 'd' THEN b_updated ELSE a_updated END) AS updated_date,
+           (op = 'd') AS __deleted
+    FROM cdc_events ORDER BY scn
+    """,
+    tags=("cdc",),
+)
+def q51_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: unwrap + __deleted rewrite (delete rows source before-image)."""
+    flat = E.unwrap(_parsed(spark))
+    return flat.select(
+        F.col("_scn").alias("scn"),
+        "id",
+        "name",
+        F.coalesce(F.col("description"), F.lit("(null)")).alias("description"),
+        F.col("price").cast("double").alias("price"),
+        "stock",
+        "updated_date",
+        "__deleted",
+    ).orderBy("scn")
+
+
+_COMPACT_ORACLE = f"""
+    WITH {_V},
+    unwrapped AS (
+      SELECT scn,
+             CASE WHEN op = 'd' THEN b_id ELSE a_id END AS id,
+             CASE WHEN op = 'd' THEN b_name ELSE a_name END AS name,
+             CASE WHEN op = 'd' THEN b_description ELSE a_description END AS description,
+             CAST(CASE WHEN op = 'd' THEN b_price ELSE a_price END AS DECIMAL(10,2)) AS price,
+             CASE WHEN op = 'd' THEN b_stock ELSE a_stock END AS stock,
+             epoch_ms(CASE WHEN op = 'd' THEN b_created ELSE a_created END) AS created_date,
+             epoch_ms(CASE WHEN op = 'd' THEN b_updated ELSE a_updated END) AS updated_date,
+             (op = 'd') AS __deleted
+      FROM cdc_events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+      FROM unwrapped
+    )
+    SELECT id, name, coalesce(description, '(null)') AS description,
+           CAST(price AS DOUBLE) AS price, stock, created_date, updated_date
+    FROM ranked WHERE rn = 1 AND NOT __deleted
+    ORDER BY id
+"""
+
+
+def _final_state(df: DataFrame) -> DataFrame:
+    return df.select(
+        "id",
+        "name",
+        F.coalesce(F.col("description"), F.lit("(null)")).alias("description"),
+        F.col("price").cast("double").alias("price"),
+        "stock",
+        "created_date",
+        "updated_date",
+    ).orderBy("id")
+
+
+@register("q52_upsert_compaction", oracle=_COMPACT_ORACLE, tags=("cdc",))
+def q52_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8/R9: latest-per-key upsert + delete — must equal the Postgres-style
+    sink state {1, 2@scn151, 3@scn160, 4 re-inserted}."""
+    return _final_state(E.compact_latest(E.unwrap(_parsed(spark))))
+
+
+@register("q53_snapshot_incremental", oracle=_COMPACT_ORACLE, tags=("cdc",))
+def q53_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2→R8: snapshot (op='r') materialized first, then incremental changes
+    merged on top — same end state as one-shot compaction (Q52)."""
+    env = _parsed(spark)
+    snapshot = E.unwrap(env.filter(F.col("op") == "r"))
+    changes = E.unwrap(env.filter(F.col("op") != "r"))
+    # snapshot rows are version 0; changes replay over them by SCN order
+    return _final_state(E.compact_latest(snapshot.unionByName(changes)))
+
+
+@register(
+    "q54_changelog_stats",
+    oracle=f"""
+    WITH {_V}
+    SELECT op, COUNT(*) AS n, MIN(scn) AS min_scn, MAX(scn) AS max_scn,
+           COUNT(DISTINCT coalesce(CASE WHEN op = 'd' THEN b_id ELSE a_id END, -1)) AS n_keys
+    FROM cdc_events GROUP BY op ORDER BY op
+    """,
+    tags=("cdc",),
+)
+def q54_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21 observability: per-op event counts over the change log."""
+    env = _parsed(spark)
+    key = F.when(F.col("op") == "d", F.col("before.id")).otherwise(F.col("after.id"))
+    return (
+        env.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_scn").alias("min_scn"),
+            F.max("_scn").alias("max_scn"),
+            F.countDistinct(F.coalesce(key, F.lit(-1))).alias("n_keys"),
+        )
+        .orderBy("op")
+    )

@@ -1,0 +1,188 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2B U1–U5).
+
+UDFs are the engine's slow path — everything here exists to prove the
+extension surface works and stays Arrow-vectorized, not because these
+computations need Python (each has a parity oracle showing the built-in
+equivalent). Ordering of preference at scale: built-ins ≫ pandas UDF
+(Arrow batches) ≫ row-at-a-time Python UDF (U1, kept deliberately tiny).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+
+# NOTE: udf()/pandas_udf() wrappers are built INSIDE the query functions —
+# a module-level @udf decorator would run during worker-side unpickling of
+# the applyInPandas functions below and fail (no session on the worker).
+
+
+def _net_price_plain(price: float, discount: float) -> float:
+    # same IEEE double expression as the built-in path
+    return price * (1.0 - discount)
+
+
+@register(
+    "u1_python_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net
+    FROM lineitem WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf",),
+)
+def u1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (parity vs built-in arithmetic)."""
+    net_udf = udf(_net_price_plain, "double")
+    li = Catalog(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net_udf("l_extendedprice", "l_discount"), 6).alias("net"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _net_price_series(price: pd.Series, discount: pd.Series) -> pd.Series:
+    return price * (1.0 - discount)
+
+
+@register(
+    "u2_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf",),
+)
+def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF — the sanctioned Python fast path."""
+    net_pudf = pandas_udf(_net_price_series, "double")
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # deterministic: sort by line number, exact fsum for the mean
+    pdf = pdf.sort_values("l_linenumber")
+    n = len(pdf)
+    mean = math.fsum(pdf["l_quantity"]) / n
+    pdf["qty_dev"] = (pdf["l_quantity"] - mean).round(6)
+    return pdf[["l_orderkey", "l_linenumber", "qty_dev"]]
+
+
+@register(
+    "u3_apply_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_quantity -
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY l_orderkey), 6) AS qty_dev
+    FROM lineitem WHERE l_orderkey < 5000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf",),
+)
+def u3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group mean-centering.
+
+    ``math.fsum`` keeps the Python-side mean exact so it matches the
+    oracle's decimal-sum mean bit-for-bit (group sizes ≤ 7 here, but the
+    same trick holds for any size).
+    """
+    li = Catalog(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 5000)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_orderkey")
+        .applyInPandas(_normalize_group, "l_orderkey bigint, l_linenumber int, qty_dev double")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+    wsum = math.fsum(pdf["l_extendedprice"] * pdf["l_quantity"])
+    qsum = math.fsum(pdf["l_quantity"])
+    return pd.DataFrame(
+        {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [round(wsum / qsum, 6)]}
+    )
+
+
+@register(
+    "u4_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def u4_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (grouped-map form): quantity-weighted average price.
+
+    fsum is exactly the IEEE sum of the double products, which equals the
+    decimal sum of the same products — order-independent on both sides.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(_weighted_avg, "l_returnflag string, wavg_price double")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "u5_tokenize_udtf",
+    oracle="""
+    SELECT doc_id, token, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 10)
+    GROUP BY doc_id, token
+    ORDER BY doc_id, token
+    """,
+    tags=("udf",),
+)
+def u5_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped tokenization via mapInPandas (one row → many rows).
+
+    Spark's lateral-view explode covers the same shape declaratively
+    (q43b); this proves the arbitrary-fanout Python path with Arrow
+    batching, as a training-data tokenizer would use.
+    """
+    d = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 10)
+
+    def fanout(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for tok in str(text).split(" "):
+                    rows.append((doc_id, tok))
+            out = pd.DataFrame(rows, columns=["doc_id", "token"])
+            yield out.groupby(["doc_id", "token"], as_index=False).agg(
+                n=("token", "size")
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .repartition("doc_id")
+        .mapInPandas(fanout, "doc_id bigint, token string, n bigint")
+        .groupBy("doc_id", "token")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("doc_id", "token")
+    )
