@@ -1,0 +1,290 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2B L1/L2+).
+
+Four dedup families, each the idiomatic Spark shape for 100 TB:
+
+* **Exact** (L1): hash-groupBy on normalized content — one shuffle on the
+  content key; partial aggregation collapses duplicates map-side.
+* **MinHash + LSH banding** (L2, APPROX): shingle → K minhashes → B bands →
+  bucket join. Candidate generation is an equi-join on (band, bucket-hash),
+  never an all-pairs comparison; cost is O(candidates), data-dependent.
+* **N-gram Jaccard** (L2b, EXACT): inverted-index pair generation (docs
+  sharing a trigram) + exact set-overlap Jaccard — the verification stage
+  LSH candidates would feed at scale.
+* **SimHash** (L2c, EXACT): 16-bit weighted-projection fingerprint;
+  near-dups differ in ≤ k bits.
+
+Portability: every hash is derived from md5 hex (both engines), converted
+to int via base-16 parse — no engine-specific hash functions in checked
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+
+def _hash60(col):
+    """Portable 60-bit integer hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_key
+    ORDER BY keep_id
+    """,
+    tags=("llm", "dedup"),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by normalized content hash; keep lowest doc_id."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+#: MinHash configuration: 16 permutations, 4 bands × 4 rows.
+_N_PERM, _N_BANDS = 16, 4
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
+    """doc_id → array<long> of n_perm minhashes over word 3-gram shingles.
+
+    Pure DataFrame implementation: explode shingles, one min-aggregate per
+    permutation (seeded re-hash of the shingle hash). Scales as a single
+    groupBy(doc_id) shuffle; no driver-side loops.
+    """
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ts", i + 1),
+                    F.element_at("ts", i + 2),
+                    F.element_at("ts", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    h = tri.withColumn("h0", _hash60(F.col("shingle")))
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min(_hash60(F.concat(F.lit(f"p{p}:"), F.col("h0").cast("string")))).alias(
+                f"mh{p}"
+            )
+            for p in range(n_perm)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perm)]).alias("sig")
+    )
+
+
+@register("l2_minhash_lsh", oracle=None, tags=("llm", "dedup"))
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (APPROX): MinHash/LSH near-dup candidates via band-bucket join.
+
+    Banding: signature split into 4 bands of 4 hashes; docs sharing any
+    band bucket become candidates; estimated Jaccard = matching-minhash
+    fraction. Recall vs exact duplicates is pytest-verified.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    sig = minhash_signatures(docs)
+    rows_per_band = _N_PERM // _N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(_N_PERM),
+        6,
+    )
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "l2b_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents
+    ), tri AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 2)),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tri a JOIN tri b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b (EXACT): word-trigram Jaccard near-dup pairs.
+
+    Pair generation by inverted-index join on shared shingles (within the
+    same language) — the exact-verification stage of a dedup pipeline; at
+    scale the LSH candidates (l2_minhash_lsh) gate which pairs reach it.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts"))
+    tri = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                # range(1, max(len-1, 2)) end-exclusive == sequence(0, max(len-3, 0)) here
+                F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ts", i + 1),
+                    F.element_at("ts", i + 2),
+                    F.element_at("ts", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "lang", "shingle"])
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tri.alias("a"), tri.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_bits(n_bits: int = 16):
+    """Column expr list: signed per-bit contributions summed per doc."""
+    h = F.col("h")
+    cnt = F.col("cnt")
+    return [
+        F.sum(cnt * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+
+
+@register(
+    "l2c_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), counted AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt,
+             {_SQL_HASH60.format(x='tok')} AS h
+      FROM toks GROUP BY doc_id, tok
+    ), bits AS (
+      SELECT doc_id,
+             {', '.join(f"SUM(cnt * (((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(16))}
+      FROM counted GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {' + '.join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))} AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c (EXACT): 16-bit SimHash document fingerprint.
+
+    Token-count-weighted signed projection per bit; near-dup docs differ in
+    few bits (Hamming ball lookup at scale). Single groupBy(doc) shuffle.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    counted = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", _hash60(F.col("tok")))
+    )
+    bits = counted.groupBy("doc_id").agg(*_simhash_bits(16))
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")

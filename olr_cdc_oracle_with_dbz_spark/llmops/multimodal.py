@@ -1,0 +1,157 @@
+"""Multimodal column handling (SURVEY §2B L7 / M-ops).
+
+Images/audio/video are opaque ``binary`` columns + a typed metadata struct
+— the lakehouse-native layout for multimodal training data: parquet stores
+the bytes inline (small assets) or a URI (large assets), and the engine
+moves them through Arrow batches without interpreting them.
+
+The decode/resize/frame-sample kernels are STUBS behind a clearly marked
+seam (no image/audio libs in this container): ``decode_fake`` is the
+deterministic stand-in used by tests; ``decode_real`` raises
+NotImplementedError until a codec library is wired in. The Spark-side
+plumbing — schema, partitioning, mapInPandas batch shape — is real and
+exact-checked where SQL can reach it (byte lengths, metadata projection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+#: metadata struct carried beside every binary asset column
+ASSET_META_SCHEMA = "mime string, n_bytes long, width int, height int"
+
+
+def attach_binary_asset(docs: DataFrame) -> DataFrame:
+    """Build a binary asset column + metadata struct from document text.
+
+    Stand-in for real assets: the utf-8 bytes of the text ARE the payload,
+    so sizes/hashes are verifiable end-to-end. Real pipelines swap the
+    payload source; every downstream operator is payload-agnostic.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("asset"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset round-trip: byte length, first byte, payload hash."""
+    assets = attach_binary_asset(Catalog(spark, sf_dir).documents)
+    return assets.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.ascii(F.decode(F.expr("substring(asset, 1, 1)"), "utf-8")).alias("first_byte"),
+        F.md5(F.col("asset")).alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract kernels (Pandas-UDF seam)
+# ---------------------------------------------------------------------------
+
+_FEATURE_DIM = 8
+
+
+def decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Decode a real media asset → feature array. NOT WIRED IN THIS ENV."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/soundfile) are not available in this "
+        "container; use decode_fake for plumbing tests"
+    )
+
+
+def decode_fake(payload: bytes, mime: str) -> np.ndarray:
+    """Deterministic stand-in decoder: fixed-width byte-statistics features."""
+    arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        arr = np.zeros(1)
+    return np.array(
+        [
+            float(len(payload)),
+            float(arr.sum() % 997),
+            float(arr.mean().round(6)),
+            float(arr.min()),
+            float(arr.max()),
+            float(len(np.unique(arr))),
+            float(int(arr[0])),
+            float(int(arr[-1])),
+        ]
+    )
+
+
+def extract_features(
+    assets: DataFrame, decoder=decode_fake, batch_note: str = "fake"
+) -> DataFrame:
+    """mapInPandas feature extraction over (asset, meta) — the real batch
+    shape: one Arrow batch in, one fixed-width feature frame out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p, m) for p, m in zip(pdf["asset"], pdf["mime"])]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "features": [list(map(float, f)) for f in feats],
+                }
+            )
+            yield out
+
+    flat = assets.select("doc_id", "asset", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(run, "doc_id bigint, features array<double>")
+
+
+@register("m2_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the decode seam (deterministic fake codec).
+
+    Proves the distributed plumbing: binary column → Arrow batch →
+    per-asset decode → fixed-width vector, partition-parallel.
+    """
+    assets = attach_binary_asset(Catalog(spark, sf_dir).documents)
+    feats = extract_features(assets)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f_len"),
+        F.round(F.element_at("features", 2), 6).alias("f_sum"),
+        F.round(F.element_at("features", 3), 6).alias("f_mean"),
+    ).orderBy("doc_id")
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stub: real impl would demux video payloads; the
+    plumbing (explode one asset → many frame rows) is exercised with
+    synthetic frame indices derived from payload size."""
+    n_frames = (F.col("meta.n_bytes") / 100).cast("int") + 1
+    return assets.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % every_n == 0)

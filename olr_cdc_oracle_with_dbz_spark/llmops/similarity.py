@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (SURVEY §2B L3/L4).
+
+* **L3 (EXACT)**: brute-force cosine top-k — the correctness baseline.
+  Query side × corpus equi-free join; dot products fold left-to-right in
+  doubles (bit-identical to the DuckDB oracle's list_dot_product);
+  ranking uses the 6-dp-rounded similarity with id tie-break so rank
+  boundaries are stable across engines.
+* **L4 (APPROX)**: random-hyperplane LSH bucketing — the 100 TB path.
+  Sign-bit signatures from md5-derived deterministic hyperplanes; the
+  all-pairs comparison collapses to an equi-join on bucket id + exact
+  rerank within buckets. Recall vs L3 is pytest-verified.
+* **L4b**: numpy-matmul pandas-UDF brute force — Arrow-batched BLAS,
+  the fastest exact path when the corpus fits per-executor broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+_TOP_K = 5
+_N_QUERIES = 100  # vec_id < 100 are the query vectors
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``vec`` (double[]) and ``norm`` columns (computed once per row)."""
+    v = _as_double(F.col(vec_col))
+    return emb.withColumn("vec", v).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+
+
+_L3_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cosine
+  FROM base q JOIN base c ON q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("l3_cosine_topk", oracle=_L3_ORACLE, tags=("llm", "similarity"))
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact cosine top-5 neighbors for each query vector (vec_id<100)."""
+    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("norm").alias("cn")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_N_TABLES, _BITS_PER_TABLE = 3, 5
+
+
+def _plane_component(dim_idx: int, plane: int):
+    """Deterministic ±1 hyperplane component from md5(plane, dim)."""
+    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}:dim{dim_idx}")), 1, 8), 16, 10)
+    return (h.cast("bigint") % 2) * 2 - 1
+
+
+def lsh_buckets(
+    emb: DataFrame, n_tables: int = _N_TABLES, bits: int = _BITS_PER_TABLE, dim: int = 64
+) -> DataFrame:
+    """Attach (tbl, bucket) rows per vector: multi-table sign-LSH.
+
+    Each table hashes with its own ``bits`` hyperplanes; a vector lands in
+    one bucket per table, so near neighbors collide in ≥1 table with high
+    probability (recall grows with tables, precision with bits per table).
+    """
+    tb = []
+    for t in range(n_tables):
+        bucket = None
+        for b in range(bits):
+            p = t * bits + b
+            proj = None
+            # v · h_p with ±1 components — one codegen'd column expression
+            for i in range(dim):
+                term = F.element_at("vec", i + 1) * _plane_component(i, p)
+                proj = term if proj is None else proj + term
+            bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        tb.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    return emb.select(
+        "vec_id", "vec", "norm", F.explode(F.array(*tb)).alias("tb")
+    ).select(
+        "vec_id", "vec", "norm",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+
+
+@register("l4_ann_lsh", oracle=None, tags=("llm", "similarity"))
+def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (APPROX): multi-table sign-LSH ANN with exact rerank in buckets.
+
+    Candidates = pairs colliding in any of 3 tables (5 sign bits each) —
+    an equi-join on (tbl, bucket), never a cross product; exact cosine
+    reranks the union, top-5 kept. Recall vs L3 is pytest-enforced.
+    """
+    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    sig = lsh_buckets(emb)
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("norm").alias("qn"),
+        "tbl",
+        "bucket",
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("norm").alias("cn"),
+        "tbl",
+        "bucket",
+    )
+    pairs = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("l4b_bruteforce_matmul", oracle=None, bench=True, tags=("llm", "similarity"))
+def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 via numpy matmul in a mapInPandas over corpus partitions.
+
+    The corpus matrix is broadcast once; each Arrow batch of queries does
+    one BLAS GEMM against it — the high-throughput exact path. (At true
+    100 TB the corpus side would be IVF-sharded first; this is the
+    per-shard kernel.)
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    c_ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    c_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def topk(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q_nrm = np.linalg.norm(q_mat, axis=1)
+            sims = (q_mat @ mat.T) / np.outer(q_nrm, nrm)
+            out = []
+            for r, qid in enumerate(q_ids):
+                row = sims[r]
+                mask = ids != qid
+                order = np.lexsort((ids[mask], -np.round(row[mask], 6)))[:_TOP_K]
+                cand_ids = ids[mask][order]
+                cand_sims = np.round(row[mask][order], 6)
+                for rank, (nid, s) in enumerate(zip(cand_ids, cand_sims), 1):
+                    out.append((int(qid), int(nid), float(s), rank))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cosine", "rnk"]
+            )
+
+    return (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(topk, "query_id bigint, neighbor_id bigint, cosine double, rnk int")
+        .orderBy("query_id", "rnk")
+    )

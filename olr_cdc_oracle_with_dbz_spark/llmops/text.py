@@ -1,0 +1,246 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2B L5/L6).
+
+Language-ID, quality scoring, token counting, TF-IDF keyword scoring, and
+rolling-hash fingerprinting — all as single-pass, codegen'd column
+expressions (no Python in the hot path), each exact-checked vs DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import register
+
+#: minimal per-language marker-word lists (n-gram-heuristic lang id)
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish token pattern: letter runs, digit runs, single other non-space
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "l5_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(lower(text), ' ') AS ts,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ts) AS n_tokens,
+           len(bpe) AS n_bpe_tokens,
+           n_chars,
+           len(list_distinct(ts)) AS n_distinct,
+           ROUND(CAST(n_chars AS DOUBLE) / len(ts), 6) AS chars_per_token,
+           ROUND(CAST(len(list_filter(ts, x -> list_contains(
+                 ['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ts), 6)
+             AS stopword_ratio
+    FROM t ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: token counts (whitespace + BPE-ish regex), char & stopword stats."""
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(ts, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        "n_chars",
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.round(F.col("n_chars").cast("double") / F.size(ts), 6).alias("chars_per_token"),
+        F.round(n_stop.cast("double") / F.size(ts), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(ts, x -> list_contains([{arr}], x)))"
+
+
+@register(
+    "l5b_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANG_MARKERS)}
+      FROM t
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+             WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: marker-word language ID (first-match tie-break en>es>de>fr>zh)."""
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    def _contains(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: a two-arg lambda would make F.filter pass the
+        # element index as the second argument
+        return lambda x: F.array_contains(arr, x)
+
+    scores = {
+        lg: F.size(F.filter(ts, _contains(words))) for lg, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "l5c_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(lower(text), ' ') AS ts FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             least(CAST(len(ts) AS DOUBLE) / 100, 1.0) * 0.5
+             + least(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) * 2, 1.0) * 0.3
+             + (CASE WHEN len(ts) >= 5 AND n_chars >= 20 THEN 0.2 ELSE 0.0 END)
+           , 6) AS quality
+    FROM t ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: deterministic quality score (length + lexical diversity + floor)."""
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    n = F.size(ts).cast("double")
+    quality = (
+        F.least(n / 100, F.lit(1.0)) * 0.5
+        + F.least(F.size(F.array_distinct(ts)).cast("double") / n * 2, F.lit(1.0)) * 0.3
+        + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality")).orderBy("doc_id")
+
+
+_KEYWORDS = ("spark", "join", "merge", "window", "hash")
+
+
+@register(
+    "l6_tfidf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ), n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    kw AS (SELECT unnest([{', '.join(repr(k) for k in _KEYWORDS)}]) AS kw),
+    tf AS (
+      SELECT doc_id, kw,
+             CAST(len(list_filter(ts, x -> x = kw)) AS DOUBLE) / len(ts) AS tf
+      FROM t CROSS JOIN kw
+    ), df AS (
+      SELECT kw, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY kw
+    )
+    SELECT t.doc_id, t.kw AS kw,
+           ROUND(t.tf * ln(CAST(n_docs.n AS DOUBLE) / greatest(df.df, 1)), 8) AS tfidf
+    FROM tf t JOIN df ON t.kw = df.kw CROSS JOIN n_docs
+    WHERE t.tf > 0
+    ORDER BY t.doc_id, t.kw
+    """,
+    tags=("llm", "text"),
+)
+def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: exact TF-IDF for a fixed keyword set (SQL-expressible form).
+
+    tf = keyword count / token count; idf = ln(N / df). The spark.ml
+    HashingTF+IDF pipeline covers the open-vocabulary form; this exact
+    variant is the hash-checked contract.
+    """
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    docs = d.select("doc_id", ts.alias("ts"))
+    kw = docs.sparkSession.createDataFrame([(k,) for k in _KEYWORDS], "kw string")
+    n_docs = docs.count()
+    tf = docs.crossJoin(F.broadcast(kw)).select(
+        "doc_id",
+        "kw",
+        (
+            F.size(F.filter("ts", lambda x: x == F.col("kw"))).cast("double")
+            / F.size("ts")
+        ).alias("tf"),
+    )
+    df_counts = tf.groupBy("kw").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "kw")
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            "kw",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.greatest(F.col("df"), F.lit(1))),
+                8,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "kw")
+    )
+
+
+@register(
+    "l7_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(ts, x ->
+                 CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 65536)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: rolling polynomial hash fingerprint over the token stream.
+
+    acc = (acc·31 + h(token)) mod 1e9+7, seeded 7 — order-sensitive (unlike
+    simhash), so re-ordered near-dups fingerprint differently. Modulus keeps
+    every intermediate < 2^35: no overflow divergence between engines.
+    """
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    tok_h = F.transform(
+        ts, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % 65536
+    )
+    fp = F.aggregate(
+        tok_h,
+        F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

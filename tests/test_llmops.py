@@ -1,0 +1,101 @@
+"""Behavioral tests for the APPROX llmops paths (no SQL oracle possible).
+
+- MinHash/LSH must recall planted near-duplicates (self-union with small
+  perturbation = guaranteed high-Jaccard pairs).
+- Sign-LSH ANN recall is measured against the exact L3 top-k.
+- Multimodal decode seam: fake codec is deterministic; real codec raises.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_recalls_planted_duplicates(spark):
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # plant exact duplicates under shifted ids: pair (i, i+10000) is a dup
+    dups = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "lang")
+    both = docs.select("doc_id", "text", "lang").unionByName(dups)
+
+    sig = minhash_signatures(both)
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    hits = sum(1 for i in rows if i < 10000 and rows[i] == rows.get(i + 10000))
+    assert hits == len([i for i in rows if i < 10000])  # identical text → identical sig
+
+
+def test_lsh_candidates_include_planted_duplicates(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    dups = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    planted = docs.unionByName(dups)
+    out = str(tmp_path / "planted")
+    planted.write.mode("overwrite").parquet(out)
+    # write a mini sf-dir: only documents is consulted by l2
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        spark.read.parquet(f"{SF}/{t}.parquet").limit(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    import shutil, os
+    shutil.rmtree(str(tmp_path / "documents.parquet"), ignore_errors=True)
+    os.rename(out, str(tmp_path / "documents.parquet"))
+
+    spec = load_all()["l2_minhash_lsh"]
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spec.spark_fn(spark, str(tmp_path)).collect()
+    }
+    expected = {(r["doc_id"], r["doc_id"] + 10000) for r in docs.select("doc_id").collect()}
+    missed = expected - pairs
+    assert not missed, f"LSH missed planted duplicate pairs: {sorted(missed)[:5]}"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    reg = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["l3_cosine_topk"].spark_fn(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["l4_ann_lsh"].spark_fn(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 12-plane single-table sign-LSH on random 64-dim vectors: modest recall
+    # by design (bucket pruning); the floor guards against regressions.
+    assert recall >= 0.15, f"ANN recall collapsed: {recall:.3f}"
+
+
+def test_matmul_bruteforce_matches_exact_topk(spark):
+    reg = load_all()
+    exact = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"])
+        for r in reg["l3_cosine_topk"].spark_fn(spark, SF).collect()
+    )
+    fast = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"])
+        for r in reg["l4b_bruteforce_matmul"].spark_fn(spark, SF).collect()
+    )
+    assert exact == fast
+
+
+def test_multimodal_decode_seam(spark):
+    from olr_cdc_oracle_with_dbz_spark.llmops import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"bytes", "image/png")
+    f1 = M.decode_fake(b"hello world", "text/plain")
+    f2 = M.decode_fake(b"hello world", "text/plain")
+    assert list(f1) == list(f2) and len(f1) == 8
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    assets = M.attach_binary_asset(docs)
+    frames = M.sample_frames(assets, every_n=2)
+    assert frames.count() > 0
+    feats = M.extract_features(assets).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
