@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Bench harness: run the engine's headline queries and print ONE JSON line.
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"q01_scan_full": s, ...}, "sf": 0.1}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N]   (default *)
+  BENCH_RUNS          timed runs per query, median reported (default 1)
+  BENCH_BASELINE=1    also time DuckDB per oracle query on the same data
+                      (adds "baseline": {...}; used to fill BASELINE.md)
+
+Execution is measured with the noop sink (full physical execution, no
+driver-side materialization) after a session warm-up, mirroring how the
+engine would run as a job rather than an interactive collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+    from olr_cdc_oracle_with_dbz_spark.session import get_spark
+
+    spark = get_spark("olr-cdc-bench", **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = load_all()
+    names = [n for n, s in sorted(registry.items()) if s.bench]
+
+    # warm-up: JVM, parquet footers, codegen
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def run_once(name: str) -> float:
+        df = registry[name].spark_fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            vals = [run_once(name) for _ in range(runs)]
+            timings[name] = round(statistics.median(vals), 4)
+        except Exception as ex:  # a broken query must not kill the bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+
+    result = {
+        "metric": "total_sec",
+        "value": round(sum(v for v in timings.values() if v > 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_BASELINE") == "1":
+        import duckdb
+
+        from olr_cdc_oracle_with_dbz_spark.plans.parity import duckdb_connect
+
+        con = duckdb_connect(sf_dir)
+        base: dict[str, float] = {}
+        for name in names:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                base[name] = round(time.perf_counter() - t0, 4)
+            except Exception as ex:
+                base[name] = -1.0
+                print(f"# baseline error {name}: {ex}", file=sys.stderr)
+        result["baseline"] = base
+        result["baseline_total"] = round(sum(v for v in base.values() if v > 0), 4)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

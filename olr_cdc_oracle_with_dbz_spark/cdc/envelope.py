@@ -31,16 +31,22 @@ from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import ENVELOPE_SCHEMA
 PK = "id"
 
 
-def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_envelope(
+    raw: DataFrame, value_col: str = "value", schema: str = ENVELOPE_SCHEMA
+) -> DataFrame:
     """Parse Debezium-JSON strings into typed envelope rows (R4/R5).
 
     Output columns: before, after (row structs), op, ts_ms, source struct
     with ``_scn``/``_txid``/``_rowid`` promoted as metadata columns — the
     total order key per OpenLogReplicator.json:24-26.
+
+    ``schema`` is the pinned envelope schema for the stream's current
+    schema version (R16: the reference pins decode schema to a dictionary
+    SCN, olr-checkpoint/ORACLE-chkpt-2156848.json:11); additive evolution
+    (R10) = re-parse with the widened schema — old events yield NULL for
+    new fields, exactly like ``auto.evolve`` at the JDBC sink.
     """
-    parsed = raw.select(
-        F.from_json(F.col(value_col), ENVELOPE_SCHEMA).alias("e")
-    ).select("e.*")
+    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e")).select("e.*")
     return parsed.select(
         "before",
         "after",
@@ -72,11 +78,14 @@ def _image_cols(img: str) -> list[Column]:
     ]
 
 
-def unwrap(env: DataFrame) -> DataFrame:
+def unwrap(env: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """R7: flatten envelope → row image + ``__deleted`` rewrite.
 
     Delete events carry only ``before`` — the rewritten row sources its
     columns from the before image (README.md:846-848 semantics).
+
+    ``extra_cols``: additional (evolved) image fields to carry through —
+    additive schema evolution (R10); absent in old events ⇒ NULL.
     """
     is_del = F.col("op") == "d"
     img = F.when(is_del, F.col("before")).otherwise(F.col("after"))
@@ -88,6 +97,7 @@ def unwrap(env: DataFrame) -> DataFrame:
         F.col("_img.stock").alias("stock"),
         F.timestamp_millis(F.col("_img.created_date")).alias("created_date"),
         F.timestamp_millis(F.col("_img.updated_date")).alias("updated_date"),
+        *[F.col(f"_img.{c}").alias(c) for c in extra_cols],
         is_del.alias("__deleted"),
         "op",
         "_scn",

@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
@@ -101,6 +102,18 @@ def _plane_component(dim_idx: int, plane: int):
     return (h.cast("bigint") % 2) * 2 - 1
 
 
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (md5-seeded, engine-independent)."""
+    import hashlib
+
+    mat = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"plane{p}:dim{i}".encode()).hexdigest()
+            mat[p, i] = 1.0 if int(h[:8], 16) % 2 else -1.0
+    return mat
+
+
 def lsh_buckets(
     emb: DataFrame, n_tables: int = _N_TABLES, bits: int = _BITS_PER_TABLE, dim: int = 64
 ) -> DataFrame:
@@ -109,25 +122,28 @@ def lsh_buckets(
     Each table hashes with its own ``bits`` hyperplanes; a vector lands in
     one bucket per table, so near neighbors collide in ≥1 table with high
     probability (recall grows with tables, precision with bits per table).
+
+    Signatures are computed in ONE vectorized pandas UDF (a single GEMM of
+    the Arrow batch against the plane matrix) — the expression-tree form
+    (n_tables·bits·dim codegen terms) measured ~50× slower.
     """
-    tb = []
-    for t in range(n_tables):
-        bucket = None
-        for b in range(bits):
-            p = t * bits + b
-            proj = None
-            # v · h_p with ±1 components — one codegen'd column expression
-            for i in range(dim):
-                term = F.element_at("vec", i + 1) * _plane_component(i, p)
-                proj = term if proj is None else proj + term
-            bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        tb.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    return emb.select(
-        "vec_id", "vec", "norm", F.explode(F.array(*tb)).alias("tb")
-    ).select(
-        "vec_id", "vec", "norm",
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    planes = _plane_matrix(n_tables * bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets_of(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0  # (n, tables*bits)
+        signs = signs.reshape(len(m), n_tables, bits)
+        bks = (signs * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(bks))
+
+    tb = emb.withColumn("bks", buckets_of("vec"))
+    return tb.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.posexplode("bks").alias("tbl", "bucket"),
     )
 
 

@@ -1,0 +1,104 @@
+"""CDC unit tests: golden fixture semantics + schema evolution (R10/R16)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import (
+    ENVELOPE_SCHEMA,
+    EXPECTED_FINAL,
+    json_lines,
+)
+from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+
+def _env(spark, lines=None, schema=ENVELOPE_SCHEMA):
+    raw = spark.createDataFrame([(s,) for s in (lines or json_lines())], "value string")
+    return E.source_filter(E.parse_envelope(raw, schema=schema))
+
+
+def test_golden_final_state(spark):
+    final = E.compact_latest(E.unwrap(_env(spark))).orderBy("id").collect()
+    got = [(r["id"], r["name"], r["description"], str(r["price"]), r["stock"]) for r in final]
+    want = [(r[0], r[1], r[2], r[3], r[4]) for r in EXPECTED_FINAL]
+    assert got == want
+
+
+def test_delete_rewrite_sources_before_image(spark):
+    """README.md:846-848: the __deleted row carries the before-image."""
+    rows = E.unwrap(_env(spark)).filter(F.col("__deleted")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["name"], str(r["price"])) == (4, "Test Product", "149.99")
+
+
+def test_intra_txn_ordering(spark):
+    """Two updates in one txn (same txid, scn 150/151): the later scn wins."""
+    final = E.compact_latest(E.unwrap(_env(spark)))
+    r = final.filter(F.col("id") == 2).collect()[0]
+    assert (str(r["price"]), r["stock"]) == ("27.99", 40)
+
+
+def test_reinsert_after_delete(spark):
+    final = E.compact_latest(E.unwrap(_env(spark)))
+    r = final.filter(F.col("id") == 4).collect()[0]
+    assert (r["name"], str(r["price"]), r["stock"]) == ("Test Product v2", "79.99", 7)
+
+
+def test_tombstone_filtering(spark):
+    """Kafka tombstones (value IS NULL, drop.tombstones=false) must be
+    droppable before parse without affecting results."""
+    lines = json_lines()
+    raw = spark.createDataFrame(
+        [(s,) for s in lines[:6]] + [(None,)] + [(s,) for s in lines[6:]],
+        "value string",
+    )
+    env = E.source_filter(E.parse_envelope(raw.filter(F.col("value").isNotNull())))
+    final = E.compact_latest(E.unwrap(env))
+    assert final.count() == len(EXPECTED_FINAL)
+
+
+_SCHEMA_V2 = ENVELOPE_SCHEMA.replace(
+    "stock:int, created_date:bigint, updated_date:bigint>",
+    "stock:int, created_date:bigint, updated_date:bigint, category:string>",
+)
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """R10 (auto.evolve): a widened envelope re-parses old events with NULL
+    for the new column; the upsert table evolves additively."""
+    import json
+
+    # old-schema events materialized first
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    old_env = _env(spark, json_lines()[:7])
+    table.merge_batch(E.unwrap(old_env), batch_id=0)
+    assert "category" not in table.read().columns
+
+    # post-evolution event: update id=1 adding category
+    evolved_event = json.dumps(
+        {
+            "before": None,
+            "after": {
+                "id": 1, "name": "Widget", "description": "Basic widget",
+                "price": "21.99", "stock": 90,
+                "created_date": 1704096000000, "updated_date": 1704110000000,
+                "category": "tools",
+            },
+            "op": "u",
+            "ts_ms": 1700000200000,
+            "source": {"scn": 200, "txId": "T9", "rowId": "AAA0x1",
+                       "schema": "OLR_DB", "table": "PRODUCT", "ts_ms": 1700000200000},
+        }
+    )
+    new_env = _env(spark, [evolved_event], schema=_SCHEMA_V2)
+    table.merge_batch(E.unwrap(new_env, extra_cols=("category",)), batch_id=1)
+
+    final = table.read().orderBy("id")
+    assert "category" in final.columns
+    rows = {r["id"]: r["category"] for r in final.collect()}
+    assert rows[1] == "tools"
+    assert all(v is None for k, v in rows.items() if k != 1)  # pre-evolution → NULL
+    got_price = {r["id"]: str(r["price"]) for r in final.collect()}
+    assert got_price[1] == "21.99"

@@ -1,0 +1,269 @@
+"""Structured Streaming tests (SURVEY §2B S1–S8).
+
+These verify the streaming-only contracts the DuckDB oracle can't reach:
+checkpointed resume (the reference's OLR-checkpoint semantics), watermark
+late-data handling, streaming dedup, stream-static joins, and that the
+streaming upsert sink converges to the batch compaction result (S7 ≡ Q52).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import EXPECTED_FINAL, json_lines
+from olr_cdc_oracle_with_dbz_spark.streaming.ingest import read_cdc_stream
+from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+    ParquetUpsertTable,
+    materialize_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(path: str, lines: list[str], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(path, name))
+
+
+def _final_ids(table: ParquetUpsertTable) -> list[tuple]:
+    df = table.read()
+    rows = df.select("id", "name", "price", "stock").orderBy("id").collect()
+    return [(r["id"], r["name"], float(r["price"]), r["stock"]) for r in rows]
+
+
+_GOLDEN = [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
+
+
+def test_s1_checkpoint_resume_no_loss_no_dupes(spark, tmp_path):
+    """S1: kill/restart at the checkpoint — resumed stream must not re-apply
+    or lose events (OLR checkpoint contract)."""
+    src = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    tdir = str(tmp_path / "table")
+    lines = json_lines()
+
+    # phase 1: snapshot + first changes
+    _write_events(src, lines[:5], "part-000.jsonl")
+    table = ParquetUpsertTable(spark, tdir)
+    q = materialize_stream(read_cdc_stream(spark, src), table, ckpt)
+    q.awaitTermination(120)
+    v1 = table.current_version()
+    assert v1 is not None
+    state1 = _final_ids(table)
+    assert (4, "Test Product", 149.99, 10) in state1  # scn 120 applied
+
+    # phase 2: "restart" — new query, same checkpoint; only new files read
+    _write_events(src, lines[5:], "part-001.jsonl")
+    q2 = materialize_stream(read_cdc_stream(spark, src), table, ckpt)
+    q2.awaitTermination(120)
+    assert _final_ids(table) == _GOLDEN
+
+    # phase 3: restart again with NO new data — no batch should run
+    v_before = table.current_version()
+    q3 = materialize_stream(read_cdc_stream(spark, src), table, ckpt)
+    q3.awaitTermination(120)
+    assert table.current_version() == v_before  # nothing replayed
+    assert _final_ids(table) == _GOLDEN
+
+
+def test_s7_streaming_sink_equals_batch_compaction(spark, tmp_path):
+    """S7: stream-materialized state ≡ batch Q52 result."""
+    src = str(tmp_path / "ev")
+    _write_events(src, json_lines(), "all.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    q = materialize_stream(read_cdc_stream(spark, src), table, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    raw = spark.createDataFrame([(s,) for s in json_lines()], "value string")
+    batch = E.compact_latest(E.unwrap(E.source_filter(E.parse_envelope(raw))))
+    batch_rows = [
+        (r["id"], r["name"], float(r["price"]), r["stock"])
+        for r in batch.select("id", "name", "price", "stock").orderBy("id").collect()
+    ]
+    assert _final_ids(table) == batch_rows == _GOLDEN
+
+
+def test_s2_tumbling_window_streaming_matches_batch(spark, tmp_path):
+    """S2: streaming tumbling-window counts == batch window counts."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "ev_parquet")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = stream.groupBy(F.window("ts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s2_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["n"])
+        for r in spark.sql("SELECT * FROM s2_mem").collect()
+    }
+    ev_b = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    want = {
+        (r["window"]["start"], r["n"])
+        for r in ev_b.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_s5_watermark_drops_late_events(spark, tmp_path):
+    """S5: an event older than watermark − delay must not create output."""
+    src = str(tmp_path / "late_src")
+    # batch 1: events at 10:00..10:40 advance the watermark to 10:30
+    batch1 = [
+        '{"event_id": %d, "ts": "2024-01-01 10:%02d:00", "v": 1.0}' % (i, m)
+        for i, m in [(1, 0), (2, 10), (3, 40)]
+    ]
+    _write_events(src, batch1, "b1.jsonl")
+    schema = "event_id long, ts timestamp, v double"
+    ckpt = str(tmp_path / "ck5")
+    emitted: list[tuple[int, str, int]] = []
+    phase = [1]
+
+    def collect(batch_df, _bid):
+        for r in batch_df.select(F.col("window.start").alias("s"), "n").collect():
+            emitted.append((phase[0], str(r["s"]), r["n"]))
+
+    def run_once():
+        agg = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a very late event at 10:05 (watermark is 10:30) + a fresh one
+    batch2 = [
+        '{"event_id": 4, "ts": "2024-01-01 10:05:00", "v": 1.0}',
+        '{"event_id": 5, "ts": "2024-01-01 11:00:00", "v": 1.0}',
+    ]
+    _write_events(src, batch2, "b2.jsonl")
+    phase[0] = 2
+    run_once()
+
+    p1 = {(s, n) for p, s, n in emitted if p == 1}
+    p2 = {(s, n) for p, s, n in emitted if p == 2}
+    # phase 1: watermark reached 10:30 → the 10:00 and 10:10 windows closed
+    assert p1 == {("2024-01-01 10:00:00", 1), ("2024-01-01 10:10:00", 1)}
+    # phase 2: the late 10:05 event (< watermark 10:30) must be DROPPED —
+    # the 10:00 window stays closed; only the newly-closed 10:40 window emits
+    assert p2 == {("2024-01-01 10:40:00", 1)}, f"late data leaked: {sorted(emitted)}"
+
+
+def test_s6_streaming_dedup_within_watermark(spark, tmp_path):
+    """S6: duplicate event ids collapse via dropDuplicatesWithinWatermark."""
+    src = str(tmp_path / "dups")
+    lines = [
+        '{"event_id": 1, "ts": "2024-01-01 10:00:00"}',
+        '{"event_id": 1, "ts": "2024-01-01 10:00:30"}',  # dup id
+        '{"event_id": 2, "ts": "2024-01-01 10:01:00"}',
+        '{"event_id": 2, "ts": "2024-01-01 10:01:10"}',  # dup id
+        '{"event_id": 3, "ts": "2024-01-01 10:02:00"}',
+    ]
+    _write_events(src, lines, "d.jsonl")
+    stream = spark.readStream.schema("event_id long, ts timestamp").json(src)
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s6_mem")
+        .option("checkpointLocation", str(tmp_path / "ck6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM s6_mem").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_s8_stream_static_join(spark, tmp_path):
+    """S8: stream ⋈ static dimension enrichment."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(200)
+    src = str(tmp_path / "ev8")
+    ev.write.mode("overwrite").parquet(src)
+    customers = spark.read.parquet(f"{SF}/customer.parquet")
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = stream.join(
+        customers, stream.user_id == customers.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s8_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM s8_mem").collect()[0]["n"]
+    want = (
+        ev.join(customers, ev.user_id == customers.c_custkey, "inner").count()
+    )
+    assert got == want > 0
+
+
+def test_s3_s4_streaming_windows_run(spark, tmp_path):
+    """S3/S4: sliding and session windows execute in streaming mode and
+    match their batch forms (semantics already oracle-checked in batch)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    src = str(tmp_path / "ev34")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev_b = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    slide = stream.groupBy(F.window("ts", "10 minutes", "5 minutes")).count()
+    q = (
+        slide.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s3_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.sql("SELECT sum(count) AS s FROM s3_mem").collect()[0]["s"]
+        == ev_b.groupBy(F.window("ts", "10 minutes", "5 minutes")).count().agg(
+            F.sum("count")
+        ).collect()[0][0]
+    )
+
+    sess = stream.groupBy("user_id", F.session_window("ts", "30 minutes")).count()
+    q2 = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s4_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM s4_mem").collect()[0]["n"]
+    want = ev_b.groupBy("user_id", F.session_window("ts", "30 minutes")).count().count()
+    assert got == want > 0
