@@ -239,6 +239,53 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
+
+
+@register(
+    "l2d_embedding_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {_COS_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d (EXACT): embedding-cosine near-duplicate pairs (cosine ≥ τ).
+
+    Semantic dedup: all vector pairs whose cosine similarity clears the
+    threshold. Exact all-pairs here (corpus is broadcast-sized); the 100 TB
+    path gates this with sign-LSH candidate buckets
+    (:func:`olr_cdc_oracle_with_dbz_spark.llmops.similarity.lsh_buckets`)
+    so only colliding pairs reach the exact kernel.
+    """
+    from olr_cdc_oracle_with_dbz_spark.llmops.similarity import _dot, with_norm
+
+    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _COS_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _simhash_bits(n_bits: int = 16):
     """Column expr list: signed per-bit contributions summed per doc."""
     h = F.col("h")
