@@ -14,6 +14,8 @@ schema IS the declared schema (no inferSchema on any streaming path).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES: tuple[str, ...] = (
@@ -50,6 +52,13 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE") == "1":
+            # Bench path: read through the scan-parallel layout mirror
+            # (sources/layout.py) — same bytes, row groups sized so a scan
+            # fans out across cores instead of decoding on one.
+            from olr_cdc_oracle_with_dbz_spark.sources.layout import optimize_dir
+
+            self.sf_dir = optimize_dir(self.sf_dir)
         self._cache: dict[str, DataFrame] = {}
 
     def path(self, name: str) -> str:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -84,7 +85,7 @@ def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("date").alias("as_date"),
         F.unix_timestamp(d).alias("epoch_s"),
         F.date_format(d, "yyyy-MM-dd").alias("ymd"),
-    ).orderBy("o_orderkey")
+    ).transform(ordered, "o_orderkey")
 
 
 @register(
@@ -121,7 +122,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
         (F.col("l_orderkey") % 7).alias("m7"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -176,7 +177,7 @@ def q43b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.filter(F.col("doc_id") < 20)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .orderBy("doc_id", "token")
+        .transform(ordered, "doc_id", "token")
     )
 
 
@@ -215,11 +216,14 @@ def q44_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props string column."""
     ev = Catalog(spark, sf_dir).events
+    # single from_json parse; per-path get_json_object re-parses the
+    # document for every extracted field
+    parsed = F.from_json("props", "k bigint, missing string")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
-        F.get_json_object("props", "$.missing").alias("missing"),
-    ).orderBy("event_id")
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("missing").alias("missing"),
+    ).transform(ordered, "event_id")
 
 
 @register(

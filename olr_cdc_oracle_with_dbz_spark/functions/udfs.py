@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -74,7 +75,7 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,13 +106,16 @@ def u3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's decimal-sum mean bit-for-bit (group sizes ≤ 7 here, but the
     same trick holds for any size).
 
-    Deliberately bounded to few groups: grouped-map with tiny groups pays
-    per-group Python dispatch — the benchmark documents that cost rather
-    than hiding it (use window expressions for this shape in production).
+    The explicit ``repartition(8, key)`` pre-shapes the shuffle: grouped-map
+    pays per-group Python dispatch, and AQE would coalesce this tiny
+    exchange to ONE partition — serializing ~500 group dispatches on a
+    32-core machine. A user repartition pins the parallelism; the groupBy
+    reuses the partitioning (no second shuffle).
     """
     li = Catalog(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 500)
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(8, "l_orderkey")
         .groupBy("l_orderkey")
         .applyInPandas(_normalize_group, "l_orderkey bigint, l_linenumber int, qty_dev double")
         .orderBy("l_orderkey", "l_linenumber")
@@ -188,5 +192,5 @@ def u5_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(fanout, "doc_id bigint, token string, n bigint")
         .groupBy("doc_id", "token")
         .agg(F.sum("n").alias("n"))
-        .orderBy("doc_id", "token")
+        .transform(ordered, "doc_id", "token")
     )

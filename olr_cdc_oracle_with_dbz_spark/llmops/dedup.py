@@ -83,14 +83,13 @@ def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
             )
         ).alias("shingle"),
     ).dropDuplicates(["doc_id", "shingle"])
-    h = tri.withColumn("h0", _hash60(F.col("shingle")))
+    # xxhash64 (JVM, codegen'd) for the n_perm permutation hashes — this is
+    # the APPROX path (no cross-engine oracle), so the portable-but-slow
+    # md5-based _hash60 is not required; seeding by permutation index makes
+    # the n_perm hash families independent.
+    h = tri.withColumn("h0", F.xxhash64(F.col("shingle")))
     mins = h.groupBy("doc_id").agg(
-        *[
-            F.min(_hash60(F.concat(F.lit(f"p{p}:"), F.col("h0").cast("string")))).alias(
-                f"mh{p}"
-            )
-            for p in range(n_perm)
-        ]
+        *[F.min(F.xxhash64(F.lit(p), F.col("h0"))).alias(f"mh{p}") for p in range(n_perm)]
     )
     return mins.select(
         "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perm)]).alias("sig")
@@ -197,6 +196,9 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Catalog(spark, sf_dir).documents
     toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts"))
+    # shingles reduced to 64-bit xxhash BEFORE the dedup/join shuffles —
+    # 8-byte keys instead of ~20-byte strings through two exchanges; the
+    # equi-join result is unchanged (collision odds ~|shingles|²/2⁶⁴).
     tri = toks.select(
         "doc_id",
         "lang",
@@ -204,11 +206,13 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 # range(1, max(len-1, 2)) end-exclusive == sequence(0, max(len-3, 0)) here
                 F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("ts", i + 1),
-                    F.element_at("ts", i + 2),
-                    F.element_at("ts", i + 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("ts", i + 1),
+                        F.element_at("ts", i + 2),
+                        F.element_at("ts", i + 3),
+                    )
                 ),
             )
         ).alias("shingle"),
@@ -261,15 +265,50 @@ _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2d (EXACT): embedding-cosine near-duplicate pairs (cosine ≥ τ).
 
-    Semantic dedup: all vector pairs whose cosine similarity clears the
-    threshold. Exact all-pairs here (corpus is broadcast-sized); the 100 TB
-    path gates this with sign-LSH candidate buckets
-    (:func:`olr_cdc_oracle_with_dbz_spark.llmops.similarity.lsh_buckets`)
-    so only colliding pairs reach the exact kernel.
+    Two stages, both distributed:
+
+    1. **Candidate generation** — one BLAS GEMM per Arrow batch of rows
+       against the broadcast corpus matrix, keeping pairs above τ−ε. (A
+       naive broadcast-nested-loop `a × b ON cosine ≥ τ` evaluates an
+       interpreted 64-term fold per pair — measured 40× slower.)
+    2. **Exact verify** — the surviving ~0.002% of pairs get the exact
+       left-fold cosine (bit-identical to the oracle's fold), which makes
+       the τ boundary and the rounded value engine-exact.
+
+    At 100 TB the corpus matrix shards by vec_id range (IVF/LSH gating,
+    see SCALE.md §6); the per-shard kernel is exactly this GEMM.
     """
+    import numpy as np
+    import pandas as pd
+
     from olr_cdc_oracle_with_dbz_spark.llmops.similarity import _dot, with_norm
 
     emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    corpus = emb.select("vec_id", "vec").toPandas()
+    c_ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    c_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in corpus["vec"]])
+    c_nrm = np.linalg.norm(c_mat, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+
+    def candidates(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            sims = (q_mat @ mat.T) / np.outer(np.linalg.norm(q_mat, axis=1), nrm)
+            out_a, out_b = [], []
+            for r, qid in enumerate(q_ids):
+                # ε guards GEMM-vs-fold summation-order drift at the boundary
+                js = np.nonzero((sims[r] >= _COS_TAU - 1e-9) & (ids > qid))[0]
+                out_a.extend(int(qid) for _ in js)
+                out_b.extend(int(i) for i in ids[js])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
+    cand = (
+        emb.repartition(16)
+        .select("vec_id", "vec")
+        .mapInPandas(candidates, "vec_a bigint, vec_b bigint")
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
@@ -278,8 +317,8 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .filter(cos >= _COS_TAU)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")

@@ -67,7 +67,11 @@ ORDER BY query_id, rnk
 @register("l3_cosine_topk", oracle=_L3_ORACLE, tags=("llm", "similarity"))
 def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: exact cosine top-5 neighbors for each query vector (vec_id<100)."""
-    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    # corpus repartitioned: the parquet is one small file (→ 1-3 scan
+    # splits) but the dot-product fold below is CPU-bound per pair, so we
+    # spread the corpus across cores before the broadcast join fans out
+    # |queries| × |corpus| pairs.
+    emb = with_norm(Catalog(spark, sf_dir).embeddings).repartition(16)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )

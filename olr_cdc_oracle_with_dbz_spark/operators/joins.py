@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6, ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -43,7 +43,7 @@ def q13_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber")
     )
 
 
@@ -97,7 +97,7 @@ def q15_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("o_key"),
             F.coalesce(F.col("o_orderstatus"), F.lit("(no order)")).alias("status"),
         )
-        .orderBy("c_custkey", "o_key")
+        .transform(ordered, "c_custkey", "o_key")
     )
 
 
@@ -205,7 +205,7 @@ def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, cond)
         .groupBy(F.col("e1.user_id").alias("user_id"), F.col("e1.event_id").alias("event_id"))
         .agg(F.count(F.col("e2.event_id")).alias("follows_1h"))
-        .orderBy("user_id", "event_id")
+        .transform(ordered, "user_id", "event_id")
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -34,7 +35,7 @@ def q05_arith_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(net, 6).alias("net_price"),
         F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -56,7 +57,7 @@ def q06_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~(F.col("l_linestatus") == "O")
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber")
     )
 
 
@@ -80,7 +81,7 @@ def q07_between_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber")
     )
 
 
@@ -104,7 +105,7 @@ def q08_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             (~F.col("o_orderstatus").isin("P")).alias("not_pending"),
         )
-        .orderBy("o_orderkey")
+        .transform(ordered, "o_orderkey")
     )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -38,7 +39,7 @@ def q37_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("distinct").alias("src"),
         )
     )
-    return f.unionAll(op).unionAll(dist).orderBy("o_orderkey", "o_orderstatus", "src")
+    return f.unionAll(op).unionAll(dist).transform(ordered, "o_orderkey", "o_orderstatus", "src")
 
 
 @register(

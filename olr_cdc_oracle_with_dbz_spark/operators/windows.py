@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -42,7 +42,7 @@ def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(by_price).alias("drnk"),
         F.row_number().over(total).alias("rn"),
         F.ntile(4).over(total).alias("quart"),
-    ).orderBy("o_custkey", "o_orderkey")
+    ).transform(ordered, "o_custkey", "o_orderkey")
 
 
 @register(
@@ -72,7 +72,7 @@ def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(whole).alias("last_type"),
-    ).orderBy("user_id", "event_id")
+    ).transform(ordered, "user_id", "event_id")
 
 
 @register(
@@ -107,7 +107,7 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum(dec_price).over(running).cast("double"), 6).alias("running_rev"),
         F.round(F.sum(dec_price).over(near).cast("double"), 6).alias("near_rev"),
-    ).orderBy("o_custkey", "o_orderkey")
+    ).transform(ordered, "o_custkey", "o_orderkey")
 
 
 @register(
@@ -133,7 +133,7 @@ def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber")
     )
 
 

@@ -37,9 +37,16 @@ _DEFAULTS: dict[str, str] = {
     # Broadcast threshold: dims like region/nation/supplier always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    # Whole files of testdata are small; on the cluster this is the knob that
-    # sizes scan partitions (128 MB default is right for 100 TB parquet).
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Scan/shuffle partition sizing. These three are SCALE-DEPENDENT: the
+    # values below are sized for the local testdata (MB-scale files on 32
+    # cores — without them a 10 MB parquet scans as 1-3 splits and AQE
+    # coalesces every shuffle to one partition, serializing the machine).
+    # On a 100 TB cluster deployment override via SPARK_GRAFT_CONF_* to the
+    # large-file values: maxPartitionBytes=128m, openCostInBytes=4m,
+    # advisoryPartitionSizeInBytes=64m.
+    "spark.sql.files.maxPartitionBytes": "8388608",
+    "spark.sql.files.openCostInBytes": "262144",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2097152",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
@@ -51,7 +58,12 @@ def get_spark(app_name: str = "olr-cdc-spark-engine", **extra_conf: str) -> Spar
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for k, v in {**_DEFAULTS, **extra_conf}.items():
+    env_conf: dict[str, str] = {}
+    if os.environ.get("SPARK_GRAFT_CONF"):  # JSON map of conf overrides
+        import json
+
+        env_conf = json.loads(os.environ["SPARK_GRAFT_CONF"])
+    for k, v in {**_DEFAULTS, **extra_conf, **env_conf}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # If we attached to a pre-existing session (driver-owned), still pin the

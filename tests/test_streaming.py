@@ -267,3 +267,64 @@ def test_s3_s4_streaming_windows_run(spark, tmp_path):
     got = spark.sql("SELECT count(*) AS n FROM s4_mem").collect()[0]["n"]
     want = ev_b.groupBy("user_id", F.session_window("ts", "30 minutes")).count().count()
     assert got == want > 0
+
+
+def test_stateful_txn_assembly_persists_state_across_restart(spark, tmp_path):
+    """Custom applyInPandasWithState operator (R18 transaction view):
+    per-txid state accumulates across micro-batches AND across query
+    restarts on one checkpoint."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.stateful import (
+        assemble_transactions,
+    )
+
+    src = str(tmp_path / "txn_in")
+    ckpt = str(tmp_path / "txn_ck")
+    out = str(tmp_path / "txn_out")
+    lines = json_lines()
+
+    def run(new_lines: list[str], name: str) -> None:
+        _write_events(src, new_lines, name)
+        def sink(batch, batch_id):  # parquet sink rejects update mode
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            assemble_transactions(read_cdc_stream(spark, src))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(lines[:5], "b0.jsonl")
+    run(lines[5:], "b1.jsonl")
+
+    # latest emitted row per txid must equal the batch ground truth
+    raw = spark.createDataFrame([(s,) for s in json_lines()], "value string")
+    env = E.source_filter(E.parse_envelope(raw))
+    truth = {
+        r["_txid"]: (r["n"], r["lo"], r["hi"])
+        for r in env.groupBy("_txid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_scn").alias("lo"),
+            F.max("_scn").alias("hi"),
+        )
+        .collect()
+    }
+    emitted = spark.read.parquet(out)
+    latest = {
+        r["txid"]: (r["n_events"], r["scn_lo"], r["scn_hi"])
+        for r in emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("txid")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert latest == truth
