@@ -20,8 +20,14 @@ _V = duckdb_values()
 
 
 def _raw_events(spark: SparkSession) -> DataFrame:
-    """The fixture history as a one-column DataFrame of JSON strings."""
-    return spark.createDataFrame([(s,) for s in json_lines()], "value string")
+    """The fixture history as a one-column DataFrame of JSON strings.
+
+    One slice: ``createDataFrame`` would otherwise parallelize 12 rows over
+    ``defaultParallelism`` (32) slices — every downstream stage then pays 32
+    near-empty tasks of pure scheduling overhead.
+    """
+    rdd = spark.sparkContext.parallelize([(s,) for s in json_lines()], 1)
+    return spark.createDataFrame(rdd, "value string")
 
 
 def _parsed(spark: SparkSession) -> DataFrame:
