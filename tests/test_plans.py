@@ -1,0 +1,108 @@
+"""Physical-plan contracts — the plan we'd want at 100 TB, asserted.
+
+Correctness tests prove the numbers; these prove the SHAPE: filters reach
+the parquet scan, projections prune columns, small dimensions broadcast,
+candidate generation never degenerates to a cartesian product, and the
+hot relational path stays inside whole-stage codegen. A regression in any
+of these is invisible at test scale and catastrophic at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_plan(df) -> str:
+    # includes AQE's final plan after an action is unnecessary here: the
+    # static physical plan already shows scans/joins/codegen boundaries
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _full_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _full_plan(df)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line  # widest column must not be read
+
+
+def test_dimension_join_broadcasts(spark, sf_dir, reg):
+    """q14: nation ⋈ region must be a broadcast join, never a shuffle."""
+    plan = _plan(reg["q14_broadcast_join"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_not_broadcast_on_fact_side(spark, sf_dir):
+    """lineitem ⋈ orders: neither 600k-row side may be broadcast at scale;
+    locally both fit under the threshold, so pin the contract explicitly
+    with hints off — the plan must be a shuffle join when sizes exceed the
+    threshold (simulated by disabling auto-broadcast)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = Catalog(spark, sf_dir)
+        df = c.lineitem.join(c.orders, c.lineitem.l_orderkey == c.orders.o_orderkey)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_lsh_candidates_are_equi_join_not_cartesian(spark, sf_dir, reg):
+    """l2 minhash banding + l4 ANN: candidate generation must be an
+    equi-join on (band/table, bucket) — a cartesian/BNL plan means the LSH
+    gating silently degenerated to all-pairs."""
+    for name in ("l2_minhash_lsh", "l4_ann_lsh"):
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_agg_stays_in_codegen(spark, sf_dir, reg):
+    """q22 (TPC-H Q1): scan→filter→partial agg must sit inside a
+    WholeStageCodegen span, and aggregation must be two-phase hash."""
+    df = reg["q22_hash_agg_tpch_q1"].spark_fn(spark, sf_dir)
+    df.collect()  # materialize so AQE's final plan (with codegen) exists
+    plan = _plan(df)
+    # codegen span markers render as `*(n) Operator` in executedPlan text
+    assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan  # no Python in the relational path
+
+
+def test_exact_topk_uses_broadcast_side_for_queries(spark, sf_dir, reg):
+    """l3: the 100-query side is broadcast against the corpus — the corpus
+    (the side that is 100 TB in production) must never be broadcast."""
+    plan = _plan(reg["l3_cosine_topk"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+
+
+def test_compaction_is_single_shuffle_window(spark, sf_dir, reg):
+    """q52: latest-per-key compaction = one hash exchange on the PK + one
+    window sort; a second exchange would double the dominant cost."""
+    plan = _plan(reg["q52_upsert_compaction"].spark_fn(spark, sf_dir))
+    pre_sort = plan.split("Sort", 1)[0]
+    assert plan.count("Exchange hashpartitioning(id") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
