@@ -1,0 +1,114 @@
+"""Property-based differential spot checks (SURVEY §5.2 item 5).
+
+Hypothesis generates small random tables (seeded, shrinkable); Spark and
+DuckDB run the same relational expression and must agree exactly. This
+probes the operator semantics the fixed testdata can't reach: empty
+tables, all-NULL columns, duplicate keys everywhere, single-row groups,
+unmatched join keys.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # seeded: CI-stable, still shrinks on failure
+)
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=6),  # join/group key (heavy dupes)
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "xyz", "", "Ü"])),
+)
+
+
+def _pdf(rows: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(rows, columns=["k", "v", "s"]).astype(
+        {"k": "int64", "v": "Int64", "s": "object"}
+    )
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(_pdf(rows), schema="k long, v long, s string")
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf.astype("object").where(pd.notna(pdf), None)
+    return sorted(
+        map(tuple, pdf.values.tolist()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def _compare(spark_df, duck_rel) -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(duck_rel.df())
+    assert got == want
+
+
+@given(rows=st.lists(ROW, max_size=25))
+@SETTINGS
+def test_groupby_agg_parity(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = _spark_df(spark, rows)
+    got = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("nv"),  # NULL-skipping count
+        F.sum("v").alias("sv"),  # exact long sum; NULL iff group all-NULL
+        F.countDistinct("s").alias("ns"),
+        F.max("s").alias("mx"),
+    )
+    con = duckdb.connect()
+    con.register("t", _pdf(rows))
+    _compare(
+        got,
+        con.sql(
+            "SELECT k, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, "
+            "COUNT(DISTINCT s) AS ns, MAX(s) AS mx FROM t GROUP BY k"
+        ),
+    )
+
+
+@given(rows=st.lists(ROW, max_size=20), rows2=st.lists(ROW, max_size=20))
+@SETTINGS
+def test_join_parity(spark, rows, rows2):
+    from pyspark.sql import functions as F
+
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2).select(
+        F.col("k"), F.col("v").alias("v2"), F.col("s").alias("s2")
+    )
+    got = a.join(b, "k", "left").select("k", "v", "s", "v2", "s2")
+    con = duckdb.connect()
+    con.register("a", _pdf(rows))
+    con.register("b", _pdf(rows2))
+    _compare(
+        got,
+        con.sql(
+            "SELECT a.k, a.v, a.s, b.v AS v2, b.s AS s2 "
+            "FROM a LEFT JOIN b ON a.k = b.k"
+        ),
+    )
+
+
+@given(rows=st.lists(ROW, max_size=20), rows2=st.lists(ROW, max_size=20))
+@SETTINGS
+def test_setop_parity(spark, rows, rows2):
+    """EXCEPT ALL + DISTINCT: NULL-aware set semantics must match."""
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2)
+    got = a.exceptAll(b).distinct()
+    con = duckdb.connect()
+    con.register("a", _pdf(rows))
+    con.register("b", _pdf(rows2))
+    _compare(
+        got,
+        con.sql("SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)"),
+    )
