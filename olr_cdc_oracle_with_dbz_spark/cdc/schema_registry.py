@@ -1,0 +1,82 @@
+"""Versioned schema registry (reference R16 / Schema Registry semantics).
+
+The reference pins envelope decode to a schema version: OLR checkpoints a
+dictionary-snapshot SCN (``schema-ref-scn``,
+/root/reference/olr-checkpoint/ORACLE-chkpt-2156848.json:11) and Kafka
+value schemas are centrally registered + versioned per topic
+(/root/reference/docker-compose-main.yml:97-119). The engine's equivalent:
+a per-table store of versioned Spark DDL schemas with an atomic current
+pointer — streaming ingest decodes with the pinned version; additive
+evolution registers version N+1 and re-parses (old events yield NULL for
+new fields, exactly Debezium/JDBC-sink ``auto.evolve``).
+
+Storage is a directory of ``v<N>.ddl`` files + a ``_CURRENT`` pointer —
+the same atomic-swap discipline as the materialized table; on a cluster
+this would live beside the table in the lakehouse metadata (Delta schema
+log), which versions schemas the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_CURRENT = "_CURRENT"
+
+
+class SchemaRegistry:
+    """Versioned DDL schema store for one subject (table/topic)."""
+
+    def __init__(self, root: str, subject: str):
+        self.dir = os.path.join(root, subject)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def register(self, ddl: str) -> int:
+        """Register a new schema version; returns its version number.
+
+        Idempotent: re-registering the current schema returns the current
+        version without writing (connector restarts re-register).
+        """
+        cur = self.current_version()
+        if cur is not None and self.get(cur) == ddl.strip():
+            return cur
+        version = (cur or 0) + 1
+        with open(os.path.join(self.dir, f"v{version}.ddl"), "w") as f:
+            f.write(ddl.strip())
+        tmp = os.path.join(self.dir, _CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.dir, _CURRENT))
+        return version
+
+    def current_version(self) -> int | None:
+        ptr = os.path.join(self.dir, _CURRENT)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def get(self, version: int) -> str:
+        with open(os.path.join(self.dir, f"v{version}.ddl")) as f:
+            return f.read()
+
+    def current(self) -> str:
+        v = self.current_version()
+        if v is None:
+            raise LookupError(f"no schema registered under {self.dir}")
+        return self.get(v)
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.dir):
+            m = re.fullmatch(r"v(\d+)\.ddl", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def is_additive(self, old_version: int, new_version: int) -> bool:
+        """True iff new schema only appends fields (auto.evolve-compatible:
+        old events re-parse under the new schema with NULL tails)."""
+        old = [f.strip() for f in self.get(old_version).split(",")]
+        new = [f.strip() for f in self.get(new_version).split(",")]
+        return new[: len(old)] == old and len(new) >= len(old)

@@ -1,0 +1,88 @@
+"""Declarative pipeline assembly — the engine's "connector config" surface.
+
+The reference is a CDC pipeline assembled **entirely from declarative
+configuration**: an OLR source/filter/format config
+(/root/reference/scripts/OpenLogReplicator.json), a Debezium source config
+(README.md:797-827) and a JDBC sink config (README.md:829-850) wired
+together, no imperative code. A user switching from the reference gets the
+same experience here: one config dict → a running, checkpointed,
+monitored capture→materialize pipeline.
+
+Config shape (every key maps to a reference connector setting, cited):
+
+    {
+      "source": {
+        "format": "debezium-json",            # wire format (R5)
+        "path": "/in/events",                 # file form, or:
+        "kafka": {"bootstrap": ..., "topic": ...},   # topic form (R1)
+        "max_files_per_trigger": 10,          # batch bound (R19 analogue)
+      },
+      "filter": {"schema": "OLR_DB", "table": "PRODUCT"},  # OLR filter (R3)
+      "schema_registry": "/meta/schemas",     # versioned decode (R16), optional
+      "sink": {"table_dir": "/tables/products", "pk": "id"},  # upsert (R8/R9)
+      "checkpoint": "/ckpt/products",         # resume (R15)
+    }
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from olr_cdc_oracle_with_dbz_spark.cdc.envelope import PK
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import ENVELOPE_SCHEMA
+from olr_cdc_oracle_with_dbz_spark.streaming.ingest import read_cdc_stream
+from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+    ParquetUpsertTable,
+    materialize_stream,
+)
+
+
+def run_pipeline(
+    spark: SparkSession, config: dict, trigger_once: bool = True
+) -> tuple[StreamingQuery, ParquetUpsertTable]:
+    """Assemble and start the configured capture→materialize pipeline.
+
+    Returns the running query plus the queryable upsert table. Restart with
+    the same config resumes from the checkpoint (R15) — the config IS the
+    pipeline identity, exactly like re-PUTting a connector config.
+    """
+    src = config["source"]
+    if src.get("format", "debezium-json") != "debezium-json":
+        raise ValueError(f"unsupported source format {src.get('format')!r}")
+
+    flt = config.get("filter", {})
+    schema_name = flt.get("schema", "OLR_DB")
+    table_name = flt.get("table", "PRODUCT")
+
+    # R16: decode pinned to the registered schema version if a registry is
+    # configured (first run registers the built-in envelope schema as v1).
+    envelope_ddl = ENVELOPE_SCHEMA
+    if "schema_registry" in config:
+        from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
+
+        reg = SchemaRegistry(config["schema_registry"], f"{schema_name}.{table_name}")
+        if reg.current_version() is None:
+            reg.register(ENVELOPE_SCHEMA)
+        envelope_ddl = reg.current()
+
+    if "kafka" in src:
+        from olr_cdc_oracle_with_dbz_spark.sources.kafka import read_kafka_cdc
+
+        env = read_kafka_cdc(spark, src["kafka"]["bootstrap"], src["kafka"]["topic"])
+    else:
+        env = read_cdc_stream(
+            spark,
+            src["path"],
+            schema_name=schema_name,
+            table=table_name,
+            max_files_per_trigger=src.get("max_files_per_trigger"),
+            envelope_schema=envelope_ddl,
+        )
+
+    sink = config["sink"]
+    table = ParquetUpsertTable(spark, sink["table_dir"], key=sink.get("pk", PK))
+    query = materialize_stream(
+        env, table, config["checkpoint"], trigger_once=trigger_once
+    )
+    return query, table

@@ -27,13 +27,23 @@ def read_cdc_stream(
     schema_name: str = "OLR_DB",
     table: str = "PRODUCT",
     max_files_per_trigger: int | None = None,
+    envelope_schema: str | None = None,
 ) -> DataFrame:
-    """Streaming DataFrame of typed envelope rows from a JSON-lines dir."""
+    """Streaming DataFrame of typed envelope rows from a JSON-lines dir.
+
+    ``envelope_schema`` pins decode to a registered schema version (R16);
+    defaults to the built-in envelope DDL.
+    """
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(source_dir)
-    return source_filter(parse_envelope(raw, "value"), schema_name, table)
+    parsed = (
+        parse_envelope(raw, "value", envelope_schema)
+        if envelope_schema
+        else parse_envelope(raw, "value")
+    )
+    return source_filter(parsed, schema_name, table)
 
 
 def read_csv_stream(spark: SparkSession, source_dir: str, schema: str) -> DataFrame:

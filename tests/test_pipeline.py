@@ -1,0 +1,84 @@
+"""Declarative pipeline assembly + schema registry + monitoring
+(reference parity: config-driven pipeline, R16 schema versioning, R21
+health observability)."""
+
+from __future__ import annotations
+
+import os
+
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import (
+    ENVELOPE_SCHEMA,
+    EXPECTED_FINAL,
+    json_lines,
+)
+from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
+from olr_cdc_oracle_with_dbz_spark.pipeline import run_pipeline
+from olr_cdc_oracle_with_dbz_spark.streaming.monitor import PipelineMonitor, health
+
+
+def _write(path: str, lines: list[str], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(path, name))
+
+
+def test_config_pipeline_end_to_end_with_resume(spark, tmp_path):
+    """One config dict → running pipeline; same config → resumed pipeline."""
+    src = str(tmp_path / "in")
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+        "schema_registry": str(tmp_path / "schemas"),
+        "sink": {"table_dir": str(tmp_path / "tbl"), "pk": "id"},
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    lines = json_lines()
+    _write(src, lines[:6], "b0.jsonl")
+
+    mon = PipelineMonitor()
+    spark.streams.addListener(mon)
+    try:
+        q, table = run_pipeline(spark, config)
+        q.awaitTermination(120)
+        assert health(q)["active"] is False
+        assert health(q)["exception"] is None
+
+        # restart with the SAME config: resumes, applies only the delta
+        _write(src, lines[6:], "b1.jsonl")
+        q2, table = run_pipeline(spark, config)
+        q2.awaitTermination(120)
+
+        rows = [
+            (r["id"], r["name"], float(r["price"]), r["stock"])
+            for r in table.read()
+            .select("id", "name", "price", "stock")
+            .orderBy("id")
+            .collect()
+        ]
+        assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
+        # registry pinned v1 of the envelope schema
+        reg = SchemaRegistry(config["schema_registry"], "OLR_DB.PRODUCT")
+        assert reg.current_version() == 1
+        # monitor saw the batches and no failures
+        assert mon.total_rows() > 0
+        assert mon.failed() == []
+    finally:
+        spark.streams.removeListener(mon)
+
+
+def test_schema_registry_versioning_and_evolution(tmp_path):
+    reg = SchemaRegistry(str(tmp_path), "OLR_DB.PRODUCT")
+    assert reg.current_version() is None
+    v1 = reg.register(ENVELOPE_SCHEMA)
+    assert v1 == 1
+    # idempotent re-register (connector restart)
+    assert reg.register(ENVELOPE_SCHEMA) == 1
+    evolved = ENVELOPE_SCHEMA.strip() + ", extra_meta string"
+    v2 = reg.register(evolved)
+    assert v2 == 2 and reg.current_version() == 2
+    assert reg.versions() == [1, 2]
+    assert reg.is_additive(1, 2)
+    assert not reg.is_additive(2, 1)
+    assert reg.get(1) == ENVELOPE_SCHEMA.strip()
