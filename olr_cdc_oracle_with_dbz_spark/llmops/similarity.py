@@ -190,6 +190,77 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+@register("l4c_ann_ivf", oracle=None, tags=("llm", "similarity"))
+def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c (APPROX): IVF-flat ANN — coarse quantize, probe, exact rerank.
+
+    Inverted-file index: centroids = an evenly-spaced deterministic sample
+    of the corpus (IVF-flat's coarse quantizer; a k-means refinement drops
+    in without changing the dataflow). Every corpus vector lands in ONE
+    cell (its nearest centroid); each query probes its ``nprobe`` nearest
+    cells. Candidates come from an equi-join on cell id — the corpus side
+    never broadcasts and never cross-joins, which is what scales: at
+    100 TB the cells ARE the partitioning, so a query touches
+    nprobe/cells of the data. Recall vs exact L3 is pytest-enforced.
+    """
+    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    n = emb.count()
+    step = max(n // _IVF_CELLS, 1)
+    cent_rows = (
+        emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < _IVF_CELLS))
+        .select("vec_id", "vec")
+        .collect()
+    )
+    c_mat = np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in cent_rows])
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def cells_of(nprobe: int):
+        @pandas_udf("array<int>")
+        def assign(vecs: pd.Series) -> pd.Series:
+            cents = bc.value
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            return pd.Series([row.astype("int32") for row in top])
+
+        return assign
+
+    corpus = emb.withColumn("cells", cells_of(1)("vec")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.explode("cells").alias("cell"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("cells", cells_of(_IVF_NPROBE)("vec"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    cand = (
+        queries.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
 @register("l4b_bruteforce_matmul", oracle=None, bench=True, tags=("llm", "similarity"))
 def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 via numpy matmul in a mapInPandas over corpus partitions.

@@ -99,3 +99,20 @@ def test_multimodal_decode_seam(spark):
     assert frames.count() > 0
     feats = M.extract_features(assets).collect()
     assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    reg = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["l3_cosine_topk"].spark_fn(spark, SF).collect()
+    }
+    approx_rows = reg["l4c_ann_ivf"].spark_fn(spark, SF).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # 4-of-16 probed cells ~ 25% of the corpus scanned; near-orthogonal
+    # random vectors make cells weakly informative, so the floor is the
+    # probed fraction plus margin — regression guard, not a quality claim.
+    assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
+    # every query must still return a full top-k from its probed cells
+    assert len(approx_rows) == len(exact)
