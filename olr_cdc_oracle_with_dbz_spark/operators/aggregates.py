@@ -196,6 +196,36 @@ def q25b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q25c_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls, g_rf, g_ls
+    """,
+)
+def q25c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the non-hierarchical multi-grouping form)."""
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls, g_rf, g_ls
+        """
+    )
+
+
+@register(
     "q26_having",
     oracle=f"""
     SELECT l_orderkey, {sql_sum6('l_quantity')} AS sum_qty

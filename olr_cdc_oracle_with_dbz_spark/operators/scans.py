@@ -77,6 +77,25 @@ def q03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q03b_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q03b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + explicit-schema read-back (wire-debug format).
+
+    Same contract as q03 over the engine's other text format; explicit
+    schema always — inferSchema is banned on any repeated-read path.
+    """
+    cat = Catalog(spark, sf_dir)
+    out = scratch_dir("q03b_nation_json")
+    cat.nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).json(out)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    return spark.read.schema(schema).json(out).orderBy("n_nationkey")
+
+
+@register(
     "q04_parquet_roundtrip",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 )

@@ -82,6 +82,32 @@ class ParquetUpsertTable:
             f.write(vdir)
         os.replace(tmp, os.path.join(self.table_dir, _CURRENT))  # atomic swap
 
+    def compact(self, target_partitions: int = 8) -> None:
+        """Major compaction: rewrite the live version sorted by key.
+
+        Micro-batch MERGEs leave the table fragmented and unordered; the
+        scheduled major compaction re-sorts by PK and bounds file count so
+        point lookups prune via min/max stats and scans stay wide-split
+        (SCALE.md §5). Same atomic pointer swap as a merge — readers never
+        see a half-written version; a concurrent merge that lands after
+        the rewrite simply supersedes it.
+        """
+        current = self.read()
+        if current is None:
+            return
+        vdir = f"{self.current_version()}c"  # e.g. v...042 -> v...042c
+        out = os.path.join(self.table_dir, vdir)
+        (
+            current.repartitionByRange(target_partitions, self.key)
+            .sortWithinPartitions(self.key)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, os.path.join(self.table_dir, _CURRENT))
+
     def foreach_batch(self):
         """The function handed to ``writeStream.foreachBatch``."""
 

@@ -328,3 +328,36 @@ def test_stateful_txn_assembly_persists_state_across_restart(spark, tmp_path):
         .collect()
     }
     assert latest == truth
+
+
+def test_major_compaction_preserves_state_and_sorts(spark, tmp_path):
+    """compact(): same rows, PK-sorted files, atomic version swap; a
+    subsequent merge supersedes the compacted version cleanly."""
+    src = str(tmp_path / "cin")
+    lines = json_lines()
+    _write_events(src, lines[:6], "b0.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "ctbl"))
+    materialize_stream(read_cdc_stream(spark, src), table, str(tmp_path / "cck")).awaitTermination(120)
+    before = _final_ids(table)
+
+    table.compact(target_partitions=2)
+    assert table.current_version().endswith("c")
+    assert _final_ids(table) == before  # content unchanged
+
+    # compacted layout: per-file min/max ranges must not overlap (sorted)
+    import pyarrow.parquet as pq
+    import glob, os as _os
+    vdir = _os.path.join(table.table_dir, table.current_version())
+    ranges = []
+    for f in sorted(glob.glob(f"{vdir}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ids = [ (md.row_group(i).column(0).statistics.min, md.row_group(i).column(0).statistics.max) for i in range(md.num_row_groups) ]
+        if ids:
+            ranges.append((min(l for l,_ in ids), max(h for _,h in ids)))
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2 or h2 <= l1  # disjoint key ranges across files
+
+    # stream continues after compaction
+    _write_events(src, lines[6:], "b1.jsonl")
+    materialize_stream(read_cdc_stream(spark, src), table, str(tmp_path / "cck")).awaitTermination(120)
+    assert _final_ids(table) == _GOLDEN
