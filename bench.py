@@ -69,6 +69,42 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {ex}", file=sys.stderr)
 
+    # CDC end-to-end throughput: synthetic Debezium envelopes at sf volume
+    # through the real streaming pipeline (file source → parse → unwrap →
+    # keyed MERGE with checkpoint). Generation is excluded from the timing.
+    cdc_stats: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from olr_cdc_oracle_with_dbz_spark.cdc.genload import generate_envelope_lines
+        from olr_cdc_oracle_with_dbz_spark.streaming.ingest import read_cdc_stream
+        from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+            ParquetUpsertTable,
+            materialize_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-bench-")
+        try:
+            n_events = generate_envelope_lines(spark, sf_dir, f"{work}/in")
+            table = ParquetUpsertTable(spark, f"{work}/table", key="id")
+            t0 = time.perf_counter()
+            q = materialize_stream(
+                read_cdc_stream(spark, f"{work}/in"), table, f"{work}/ckpt"
+            )
+            q.awaitTermination(600)
+            el = time.perf_counter() - t0
+            cdc_stats = {
+                "events": n_events,
+                "sec": round(el, 4),
+                "events_per_sec": round(n_events / el, 1),
+                "final_rows": table.read().count(),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    except Exception as ex:  # throughput section must not kill the bench
+        print(f"# cdc bench error: {ex}", file=sys.stderr)
+
     result = {
         "metric": "total_sec",
         "value": round(sum(v for v in timings.values() if v > 0), 4),
@@ -76,6 +112,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "ingest_sec": ingest_sec,
+        "cdc_ingest": cdc_stats,
     }
 
     if os.environ.get("BENCH_BASELINE") == "1":

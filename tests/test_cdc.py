@@ -102,3 +102,35 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     assert all(v is None for k, v in rows.items() if k != 1)  # pre-evolution → NULL
     got_price = {r["id"]: str(r["price"]) for r in final.collect()}
     assert got_price[1] == "21.99"
+
+
+def test_genload_envelope_semantics(spark, tmp_path, sf_dir):
+    """Synthetic volume load: per-key histories compact to the right state
+    (update beats insert by SCN; deleted keys absent)."""
+    import pyspark.sql.functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
+    from olr_cdc_oracle_with_dbz_spark.cdc.genload import generate_envelope_lines
+
+    out = str(tmp_path / "gen")
+    n = generate_envelope_lines(spark, sf_dir, out, files=4)
+    raw = spark.read.text(out)
+    env = E.source_filter(E.parse_envelope(raw))
+    assert env.count() == n
+    final = E.compact_latest(E.unwrap(env))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # deletes: keys ≡ 0 (mod 10) gone
+    assert final.filter("id % 10 = 0").count() == 0
+    # updates: keys ≡ 1 (mod 3) carry the 1.1x price (unless deleted)
+    upd = final.filter("id % 3 = 1 AND id % 10 <> 0")
+    joined = upd.join(
+        orders.select(F.col("o_orderkey").alias("id"), "o_totalprice"), "id"
+    )
+    mismatched = joined.filter(
+        F.abs(F.col("price") - F.round(F.col("o_totalprice") * 1.1, 2)) > 1e-6
+    ).count()
+    assert mismatched == 0
+    # inserts: everything else carries the original price
+    ins = final.filter("id % 3 <> 1 AND id % 10 <> 0")
+    j2 = ins.join(orders.select(F.col("o_orderkey").alias("id"), "o_totalprice"), "id")
+    assert j2.filter(F.abs(F.col("price") - F.col("o_totalprice")) > 1e-6).count() == 0
