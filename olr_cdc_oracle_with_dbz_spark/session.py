@@ -36,7 +36,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Broadcast threshold: dims like region/nation/supplier always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # 16 beats 32 consistently at testdata scale (fewer near-empty reduce
+    # tasks; AQE coalesces/splits from here). Cluster value: ~2-3x cores.
+    "spark.sql.shuffle.partitions": "16",
     # Scan/shuffle partition sizing. These three are SCALE-DEPENDENT: the
     # values below are sized for the local testdata (MB-scale files on 32
     # cores — without them a 10 MB parquet scans as 1-3 splits and AQE
