@@ -146,6 +146,45 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def resize_assets(
+    assets: DataFrame, width: int, height: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize kernel through the decode seam (mapInPandas, Arrow-batched).
+
+    Real implementation decodes → resamples → re-encodes (PIL/ffmpeg —
+    not in this container, gated behind ``use_real_codec``); the fake
+    codec nearest-neighbor-samples the payload bytes to exactly
+    ``width*height`` bytes, so output sizing, metadata rewrite, and batch
+    shape — the Spark-side contract — are fully exercised.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["asset"]:
+                if use_real_codec:
+                    decode_real(p, "image/*")  # raises until codecs wired
+                buf = np.frombuffer(p, dtype=np.uint8)
+                if buf.size == 0:
+                    buf = np.zeros(1, dtype=np.uint8)
+                idx = np.linspace(0, buf.size - 1, n_out).astype(np.int64)
+                out_payloads.append(buf[idx].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "asset": out_payloads}
+            )
+
+    flat = assets.select("doc_id", "asset")
+    resized = flat.mapInPandas(run, "doc_id bigint, asset binary")
+    meta = F.struct(
+        F.lit("image/raw").alias("mime"),
+        F.length("asset").cast("long").alias("n_bytes"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+    )
+    return resized.select("doc_id", "asset", meta.alias("meta"))
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling stub: real impl would demux video payloads; the
     plumbing (explode one asset → many frame rows) is exercised with

@@ -116,3 +116,32 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
     # every query must still return a full top-k from its probed cells
     assert len(approx_rows) == len(exact)
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """Resize seam: every output payload is exactly width*height bytes,
+    metadata rewritten to the target shape, deterministic across runs."""
+    import pyspark.sql.functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+    from olr_cdc_oracle_with_dbz_spark.llmops.multimodal import (
+        attach_binary_asset,
+        resize_assets,
+    )
+
+    assets = attach_binary_asset(Catalog(spark, sf_dir).documents.limit(50))
+    out = resize_assets(assets, width=8, height=4)
+    rows = out.select(
+        "doc_id",
+        F.length("asset").alias("n"),
+        "meta.width",
+        "meta.height",
+        F.md5("asset").alias("h"),
+    ).collect()
+    assert len(rows) == 50
+    assert all(r["n"] == 32 and r["width"] == 8 and r["height"] == 4 for r in rows)
+    again = {
+        r["doc_id"]: r["h"]
+        for r in resize_assets(assets, 8, 4).select("doc_id", F.md5("asset").alias("h")).collect()
+    }
+    assert {r["doc_id"]: r["h"] for r in rows} == again
