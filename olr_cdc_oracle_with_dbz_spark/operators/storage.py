@@ -1,0 +1,63 @@
+"""Table-layout operators: partitioned and bucketed at-rest storage.
+
+SCALE.md §1's cluster-ingest claims, as code:
+
+* **Partitioned writes** — fact tables partition by a date/key column so
+  predicates prune whole directories before any I/O (`PartitionFilters`
+  in the scan, distinct from row-group pruning).
+* **Bucketed writes** — co-bucketing two fact tables on the join key
+  removes the join's shuffle entirely (`SortMergeJoin` with no
+  `Exchange`): the dominant TPC-H-shaped cost at 100 TB.
+
+Both are plan-shape-tested in tests/test_storage.py; the bench testdata
+itself stays unpartitioned because the driver owns those files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], sort_col: str | None = None
+) -> None:
+    """Write a partitioned parquet table (dir-per-partition-value).
+
+    ``sort_col`` additionally orders rows inside each file so min/max
+    zone maps prune row groups under point/range predicates — the
+    two-level pruning stack (partition dir → row group)."""
+    w = df
+    if sort_col is not None:
+        w = df.repartition(*[df[c] for c in partition_cols]).sortWithinPartitions(
+            sort_col
+        )
+    w.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed, bucket-sorted catalog table.
+
+    Joins/aggregations on ``bucket_col`` between tables sharing the same
+    bucket count read co-located buckets directly — no exchange. At
+    100 TB this is the difference between shuffling both fact tables per
+    query and never shuffling them at all.
+    """
+    w = df.write.bucketBy(buckets, bucket_col).sortBy(bucket_col).mode("overwrite")
+    if path is not None:  # external table; else managed under the warehouse dir
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def bucketed_fact_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two co-bucketed fact tables on their bucket keys."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])
