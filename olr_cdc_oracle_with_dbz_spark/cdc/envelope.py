@@ -107,6 +107,30 @@ def unwrap(env: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     return flat
 
 
+def quarantine_malformed(
+    raw: DataFrame, value_col: str = "value", schema: str = ENVELOPE_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive ingest split: (parsed good events, quarantined bad lines).
+
+    The reference passes unknown/undecodable content through rather than
+    failing (``unknown-type: 1``,
+    /root/reference/scripts/OpenLogReplicator.json:25). Spark's PERMISSIVE
+    ``from_json`` nulls out unparseable rows; here they divert to a
+    quarantine stream (raw line + error tag) so the pipeline keeps moving
+    and nothing is silently dropped — the lakehouse dead-letter pattern.
+    """
+    tagged = raw.withColumn("_e", F.from_json(F.col(value_col), schema))
+    # a line is malformed if parsing produced no envelope at all
+    is_bad = F.col("_e").isNull() | (
+        F.col("_e.op").isNull() & F.col("_e.source").isNull()
+    )
+    good = parse_envelope(tagged.filter(~is_bad).select(value_col), value_col, schema)
+    bad = tagged.filter(is_bad).select(
+        F.col(value_col).alias("raw_line"), F.lit("unparseable-envelope").alias("error")
+    )
+    return good, bad
+
+
 def compact_latest(unwrapped: DataFrame, key: str = PK) -> DataFrame:
     """R8/R9: keyed upsert compaction — latest ``_scn`` per key wins,
     surviving deletes are dropped.

@@ -134,3 +134,49 @@ def test_genload_envelope_semantics(spark, tmp_path, sf_dir):
     ins = final.filter("id % 3 <> 1 AND id % 10 <> 0")
     j2 = ins.join(orders.select(F.col("o_orderkey").alias("id"), "o_totalprice"), "id")
     assert j2.filter(F.abs(F.col("price") - F.col("o_totalprice")) > 1e-6).count() == 0
+
+
+def test_malformed_events_quarantined_not_dropped(spark):
+    """Permissive ingest (unknown-type passthrough): bad lines divert to a
+    quarantine stream; good events are unaffected; nothing vanishes."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import quarantine_malformed
+
+    lines = json_lines()
+    bad_lines = ["{not json at all", '{"foo": 1}', ""]
+    raw = spark.createDataFrame(
+        [(s,) for s in lines + bad_lines], "value string"
+    )
+    good, bad = quarantine_malformed(raw)
+    assert good.count() == len(lines)
+    assert bad.count() == len(bad_lines)
+    assert set(r["error"] for r in bad.collect()) == {"unparseable-envelope"}
+    # good side still compacts to the golden state
+    final = E.compact_latest(E.unwrap(E.source_filter(good)))
+    assert final.count() == len(EXPECTED_FINAL)
+
+
+def test_out_of_order_batch_cannot_regress_state(spark, tmp_path):
+    """A replayed/late batch carrying an OLDER scn for a key must not
+    overwrite newer materialized state (idempotent MERGE contract)."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+    lines = json_lines()
+    raw_all = spark.createDataFrame([(s,) for s in lines], "value string")
+    env_all = E.source_filter(E.parse_envelope(raw_all))
+    table = ParquetUpsertTable(spark, str(tmp_path / "t"))
+    table.merge_batch(E.unwrap(env_all), batch_id=1)
+    after_full = {
+        (r["id"], r["name"], float(r["price"]))
+        for r in table.read().select("id", "name", "price").collect()
+    }
+
+    # replay ONLY the old update of id=4 (scn 120 < materialized 140)
+    old_line = [s for s in lines if '"scn": 120' in s or '"scn":120' in s]
+    assert old_line, "fixture must contain scn 120"
+    raw_old = spark.createDataFrame([(s,) for s in old_line], "value string")
+    table.merge_batch(E.unwrap(E.source_filter(E.parse_envelope(raw_old))), batch_id=2)
+    after_replay = {
+        (r["id"], r["name"], float(r["price"]))
+        for r in table.read().select("id", "name", "price").collect()
+    }
+    assert after_replay == after_full
