@@ -55,11 +55,34 @@ class ParquetUpsertTable:
             v = f.read().strip()
         return v or None
 
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
+    def read(self, version: str | None = None) -> DataFrame | None:
+        """Read the live version, or time-travel to any retained version.
+
+        Every micro-batch MERGE writes a full new version dir and flips the
+        pointer, so history is retained until vacuumed — the same contract
+        Delta's transaction log provides (``VERSION AS OF``), here with
+        directory granularity.
+        """
+        v = version or self.current_version()
         if v is None:
             return None
         return self.spark.read.parquet(os.path.join(self.table_dir, v))
+
+    def versions(self) -> list[str]:
+        """All retained versions, oldest→newest (batch id order)."""
+        return sorted(
+            d for d in os.listdir(self.table_dir) if d.startswith("v")
+        )
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop all but the newest ``keep`` versions (never the live one)."""
+        import shutil
+
+        live = self.current_version()
+        victims = [v for v in self.versions()[:-keep] if v != live]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.table_dir, v), ignore_errors=True)
+        return victims
 
     # -- write side --------------------------------------------------------
     def merge_batch(self, unwrapped: DataFrame, batch_id: int) -> None:

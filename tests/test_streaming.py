@@ -361,3 +361,27 @@ def test_major_compaction_preserves_state_and_sorts(spark, tmp_path):
     _write_events(src, lines[6:], "b1.jsonl")
     materialize_stream(read_cdc_stream(spark, src), table, str(tmp_path / "cck")).awaitTermination(120)
     assert _final_ids(table) == _GOLDEN
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned table: each batch retains a readable snapshot; vacuum
+    drops history but never the live version."""
+    lines = json_lines()
+    raw1 = spark.createDataFrame([(s,) for s in lines[:5]], "value string")
+    raw2 = spark.createDataFrame([(s,) for s in lines[5:]], "value string")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tt"))
+    table.merge_batch(E.unwrap(E.source_filter(E.parse_envelope(raw1))), batch_id=1)
+    v1 = table.current_version()
+    table.merge_batch(E.unwrap(E.source_filter(E.parse_envelope(raw2))), batch_id=2)
+    v2 = table.current_version()
+    assert v1 != v2 and set(table.versions()) >= {v1, v2}
+
+    # time travel: the v1 snapshot still shows the pre-delete price of id 4
+    old = {r["id"]: float(r["price"]) for r in table.read(version=v1).collect()}
+    new = {r["id"]: float(r["price"]) for r in table.read().collect()}
+    assert old[4] == 149.99   # scn 120 state
+    assert new[4] == 79.99    # re-inserted after delete (scn 140)
+
+    dropped = table.vacuum(keep=1)
+    assert v1 in dropped and v2 not in dropped
+    assert table.read().count() == len(_GOLDEN)
