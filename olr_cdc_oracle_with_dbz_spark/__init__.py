@@ -20,3 +20,16 @@ __version__ = "0.1.0"
 
 from olr_cdc_oracle_with_dbz_spark.session import get_spark  # noqa: F401
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog  # noqa: F401
+
+
+def __getattr__(name: str):
+    # lazy top-level conveniences (avoid importing streaming deps eagerly)
+    if name == "run_pipeline":
+        from olr_cdc_oracle_with_dbz_spark.pipeline import run_pipeline
+
+        return run_pipeline
+    if name == "load_all":
+        from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+        return load_all
+    raise AttributeError(name)
