@@ -46,6 +46,12 @@ UNIQUE_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: session-wide DataFrame cache: (session id, dir, table) → DataFrame.
+#: A real engine caches catalog metadata; without this every query pays a
+#: py4j round-trip + parquet footer read per table reference.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 class Catalog:
     """Lazy table access for one scale-factor directory."""
 
@@ -59,7 +65,8 @@ class Catalog:
             from olr_cdc_oracle_with_dbz_spark.sources.layout import optimize_dir
 
             self.sf_dir = optimize_dir(self.sf_dir)
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _TABLE_CACHE
+        self._key = (id(spark), self.sf_dir)
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
@@ -67,7 +74,8 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-        if name not in self._cache:
+        key = (*self._key, name)
+        if key not in self._cache:
             df = self.spark.read.parquet(self.path(name))
             if name == "events":
                 # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
@@ -80,8 +88,8 @@ class Catalog:
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
-            self._cache[name] = df
-        return self._cache[name]
+            self._cache[key] = df
+        return self._cache[key]
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

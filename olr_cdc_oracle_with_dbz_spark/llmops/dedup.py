@@ -159,9 +159,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l2b_ngram_jaccard",
-    oracle=f"""
+_L2B_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents
     ), tri AS (
@@ -184,16 +182,11 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON i.doc_b = sb.doc_id
     WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.2
     ORDER BY doc_a, doc_b
-    """,
-    tags=("llm", "dedup"),
-)
-def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2b (EXACT): word-trigram Jaccard near-dup pairs.
-
-    Pair generation by inverted-index join on shared shingles (within the
-    same language) — the exact-verification stage of a dedup pipeline; at
-    scale the LSH candidates (l2_minhash_lsh) gate which pairs reach it.
     """
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered trigram-Jaccard pair set (shared by l2b and l2e)."""
     d = Catalog(spark, sf_dir).documents
     toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts"))
     # shingles reduced to 64-bit xxhash BEFORE the dedup/join shuffles —
@@ -239,8 +232,18 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("l2b_ngram_jaccard", oracle=_L2B_ORACLE, tags=("llm", "dedup"))
+def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b (EXACT): word-trigram Jaccard near-dup pairs.
+
+    Pair generation by inverted-index join on shared shingles (within the
+    same language) — the exact-verification stage of a dedup pipeline; at
+    scale the LSH candidates (l2_minhash_lsh) gate which pairs reach it.
+    """
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
@@ -374,3 +377,66 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bits.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "l2e_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_L2B_ORACLE}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.doc
+    )
+    SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach
+    GROUP BY doc ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e (EXACT): near-dup clusters = connected components of the
+    trigram-Jaccard pair graph; cluster id = min doc_id in the component.
+
+    The dedup *decision* step: keep one representative per cluster. An
+    iterative min-label propagation over DataFrames (the simplified
+    large-star algorithm): each round, every node takes the minimum label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds — components here are tiny, and at 100 TB each round is one
+    shuffle-join of (edges ⋈ labels), with edges orders of magnitude
+    smaller than the corpus. Oracle: DuckDB recursive CTE reachability.
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d")
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
+    edges = edges.localCheckpoint()  # small graph; cut the pair-gen lineage
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()  # materialize: bounds lineage AND gives a
+            # stable frame for the convergence check
+        )
+        # labels only ever decrease, so the label sum is a strictly
+        # monotone convergence metric — one cheap aggregate per round
+        # instead of a change-detection join
+        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        prev_sum = getattr(labels, "_lab_sum", None)
+        labels = new_labels
+        labels._lab_sum = new_sum
+        if prev_sum is not None and new_sum == prev_sum:
+            break
+    return labels.select("doc_id", F.col("lab").alias("cluster")).orderBy("doc_id")
