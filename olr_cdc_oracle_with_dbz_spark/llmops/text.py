@@ -243,3 +243,115 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+#: PII patterns in the Java-regex ∩ RE2 dialect intersection
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+
+
+@register(
+    "l5d_redact_pii",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' now' AS t
+      FROM documents
+    ), r1 AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM seeded
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(t1, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM r1 ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l5d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d: PII redaction (emails, phone numbers) with redaction counts.
+
+    The synthetic corpus carries no PII, so both engines seed identical
+    deterministic PII per document before redacting — the check proves
+    pattern parity and replacement behavior, not luck of the data. At
+    scale this is a pure map (regexp_replace is codegen'd); patterns live
+    in the Java-regex ∩ RE2 intersection so engines agree.
+    """
+    d = Catalog(spark, sf_dir).documents
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" now"),
+    )
+    t1 = F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(F.regexp_replace(t1, _PHONE_RE, "<PHONE>")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l5e_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    df AS (
+      SELECT tok, COUNT(*) AS d FROM toks GROUP BY tok
+    ), boiler AS (
+      SELECT tok FROM df, n_docs WHERE d >= 0.5 * n
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_distinct_toks,
+           COUNT(*) FILTER (WHERE b.tok IS NOT NULL) AS n_boiler,
+           ROUND(CAST(COUNT(*) FILTER (WHERE b.tok IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS boiler_ratio
+    FROM toks t LEFT JOIN boiler b ON t.tok = b.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5e: boilerplate detection — tokens present in ≥50% of documents,
+    per-doc boilerplate ratio (cleaning signal: near-1 docs are template).
+
+    Two aggregations over one explode (document frequency is corpus-wide,
+    then broadcast back); at 100 TB the boiler set is tiny and broadcast,
+    the explode is map-side — shuffle ∝ distinct (doc, token).
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    n_docs = d.select("doc_id").distinct().count()
+    boiler = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 0.5 * n_docs)
+        .select("tok", F.lit(True).alias("is_boiler"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(boiler), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_toks",
+        "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_distinct_toks"), 6).alias(
+            "boiler_ratio"
+        ),
+    ).orderBy("doc_id")
