@@ -54,3 +54,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout: narrow predicates on EITHER column skip most
+    row groups (vs a single-column sort, which only prunes its own key)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import write_zordered
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], files=4, bits=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    def groups_hit(col, lo, hi):
+        hit = total = 0
+        for f in glob.glob(f"{out}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if not (st.max < lo or st.min > hi):
+                    hit += 1
+        return hit, total
+
+    ok = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    pk = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    # a 5%-wide slice on each dimension
+    for col, (lo_all, hi_all) in (("l_orderkey", ok), ("l_partkey", pk)):
+        width = (hi_all - lo_all) // 20
+        hit, total = groups_hit(col, lo_all, lo_all + width)
+        assert total >= 4
+        assert hit < total, f"{col}: no pruning ({hit}/{total})"
