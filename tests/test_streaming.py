@@ -385,3 +385,65 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     dropped = table.vacuum(keep=1)
     assert v1 in dropped and v2 not in dropped
     assert table.read().count() == len(_GOLDEN)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range bound
+    (clicks within 1h before each purchase, per user) equals the batch
+    join over the same data."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if "ts" in [f.name for f in ev.schema.fields if str(f.dataType) == "LongType()"]:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    ev.filter("event_type = 'click'").select("user_id", "event_id", "ts").write.parquet(clicks_dir)
+    ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    ).write.parquet(buys_dir)
+
+    clicks = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .parquet(clicks_dir)
+        .withWatermark("ts", "2 hours")
+    )
+    buys = (
+        spark.readStream.schema("user_id long, buy_id long, buy_ts timestamp")
+        .parquet(buys_dir)
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (clicks.ts <= buys.buy_ts)
+        & (clicks.ts >= buys.buy_ts - F.expr("INTERVAL 1 HOUR")),
+    ).select(clicks.user_id, "event_id", "buy_id")
+
+    out = str(tmp_path / "ssj_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["event_id"], r["buy_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    c = ev.filter("event_type = 'click'")
+    b = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_uid"), F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    want = {
+        (r["user_id"], r["event_id"], r["buy_id"])
+        for r in c.join(
+            b,
+            (c.user_id == F.col("b_uid"))
+            & (c.ts <= F.col("buy_ts"))
+            & (c.ts >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
