@@ -274,3 +274,66 @@ def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("p_size"), F.lit(25)).alias("l"),
         F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("bigint").alias("h_int"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q44b_pivot",
+    oracle="""
+    SELECT n_name,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q44b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per nation by priority column.
+
+    ``groupBy().pivot(col, values)`` with explicit pivot values — never
+    let Spark scan for distinct values on a 100 TB table.
+    """
+    c = Catalog(spark, sf_dir)
+    joined = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    wide = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+    )
+    return wide.select(
+        "n_name",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+    ).orderBy("n_name")
+
+
+@register(
+    "q44c_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey,
+             UNNEST(['size', 'retail']) AS metric,
+             UNNEST([CAST(p_size AS DOUBLE), p_retailprice]) AS val
+      FROM part
+    ) WHERE p_partkey < 500
+    ORDER BY p_partkey, metric
+    """,
+)
+def q44c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide→long): one row per (part, metric)."""
+    p = Catalog(spark, sf_dir).part.filter(F.col("p_partkey") < 500)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retail"),
+        )
+        .unpivot("p_partkey", ["size", "retail"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
