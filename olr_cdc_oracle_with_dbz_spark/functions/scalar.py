@@ -337,3 +337,81 @@ def q44c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["size", "retail"], "metric", "val")
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "q43c_higher_order",
+    oracle="""
+    SELECT vec_id,
+           ROUND(CAST(list_sum(list_transform(embedding[1:16],
+                 x -> CAST(abs(CAST(x AS DOUBLE)) AS DECIMAL(18,9)))) AS DOUBLE), 6) AS l1_head,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS n_pos,
+           ROUND(CAST(list_sum(list_transform(
+                 list_zip(embedding[1:8], embedding[9:16]),
+                 p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                      AS DECIMAL(18,9)))) AS DOUBLE), 6) AS zip_dot
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q43c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: transform / filter / zip_with / aggregate.
+
+    These are the codegen'd building blocks the similarity kernels fold
+    over; decimal accumulators keep the fold order-independent for the
+    cross-engine check.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+    dec = lambda c: c.cast("decimal(18,9)")
+    l1 = F.aggregate(
+        F.slice(emb, 1, 16),
+        F.lit(0).cast("decimal(30,9)"),
+        lambda acc, x: (acc + dec(F.abs(x.cast("double")))).cast("decimal(30,9)"),
+    )
+    zip_dot = F.aggregate(
+        F.zip_with(
+            F.slice(emb, 1, 8),
+            F.slice(emb, 9, 8),
+            lambda a, b: dec(a.cast("double") * b.cast("double")),
+        ),
+        F.lit(0).cast("decimal(30,9)"),
+        lambda acc, x: (acc + x).cast("decimal(30,9)"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(l1.cast("double"), 6).alias("l1_head"),
+        F.size(F.filter(emb, lambda x: x.cast("double") > 0)).alias("n_pos"),
+        F.round(zip_dot.cast("double"), 6).alias("zip_dot"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q10b_null_safe_eq",
+    oracle="""
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+    FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                  ELSE o_orderkey % 5 END AS grp
+          FROM orders WHERE o_orderkey < 300) a
+    JOIN (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                  ELSE o_orderkey % 5 END AS grp
+          FROM orders WHERE o_orderkey < 300) b
+      ON a.grp IS NOT DISTINCT FROM b.grp AND a.o_orderkey < b.o_orderkey
+    ORDER BY k1, k2
+    """,
+)
+def q10b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) as a join predicate:
+    NULL groups match each other, unlike plain `=`."""
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 300)
+    grp = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderkey") % 5)
+    side = o.select(F.col("o_orderkey"), grp.alias("grp"))
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.grp").eqNullSafe(F.col("b.grp"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
+        .orderBy("k1", "k2")
+    )

@@ -176,3 +176,26 @@ def q36_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q31b_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q31b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (distribution window functions)."""
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderkey")
