@@ -19,15 +19,22 @@ from olr_cdc_oracle_with_dbz_spark.registry import register
 _V = duckdb_values()
 
 
+_RAW_CACHE: dict[int, DataFrame] = {}
+
+
 def _raw_events(spark: SparkSession) -> DataFrame:
     """The fixture history as a one-column DataFrame of JSON strings.
 
     One slice: ``createDataFrame`` would otherwise parallelize 12 rows over
     ``defaultParallelism`` (32) slices — every downstream stage then pays 32
-    near-empty tasks of pure scheduling overhead.
+    near-empty tasks of pure scheduling overhead. Memoized per session: the
+    fixture is immutable, and rebuilding costs a py4j round-trip per query.
     """
-    rdd = spark.sparkContext.parallelize([(s,) for s in json_lines()], 1)
-    return spark.createDataFrame(rdd, "value string")
+    key = id(spark)
+    if key not in _RAW_CACHE:
+        rdd = spark.sparkContext.parallelize([(s,) for s in json_lines()], 1)
+        _RAW_CACHE[key] = spark.createDataFrame(rdd, "value string")
+    return _RAW_CACHE[key]
 
 
 def _parsed(spark: SparkSession) -> DataFrame:

@@ -295,3 +295,62 @@ def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type")
         .orderBy("user_id")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """General as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` key.
+
+    Union-then-window formulation (the scale shape): tag both sides, sort
+    each key's rows by time once, and carry the most recent right-side
+    values forward with ``last(ignorenulls=True)``. ONE shuffle on the key
+    — never a per-row range probe, never a broadcast of either side.
+    Ties (right_ts == left_ts): the right row is visible to that left row.
+    Citation: SURVEY.md Q21 (DuckDB ASOF JOIN equivalent); used there for
+    latest-event-per-user-at-cutoff.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (by, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(by),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tag = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(l_tag.schema["_l"].dataType)
+        .alias("_l"),
+    )
+    # right rows sort before left rows at equal _ts so an exact-tie right
+    # row is already visible when the left row looks back
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+    )
+    return out
