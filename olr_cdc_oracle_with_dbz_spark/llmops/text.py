@@ -355,3 +355,68 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boiler_ratio"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "l8_curation_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS ts, n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             least(CAST(len(ts) AS DOUBLE) / 100, 1.0) * 0.5
+             + least(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) * 2, 1.0) * 0.3
+             + (CASE WHEN len(ts) >= 5 AND n_chars >= 20 THEN 0.2 ELSE 0.0 END)
+               AS quality
+      FROM q
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM scored WHERE quality >= 0.5
+      GROUP BY md5(lower(trim(text)))
+    )
+    SELECT s.doc_id,
+           ROUND(s.quality, 6) AS quality,
+           md5(regexp_replace(regexp_replace(s.text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def l8_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: end-to-end curation — quality gate → exact dedup → PII redaction.
+
+    The composed training-data flow: score every document, keep those
+    above the quality bar, collapse exact duplicates (lowest doc_id
+    survives), redact PII from the survivors. One declarative plan —
+    Catalyst pipelines the filter into the scan, the dedup is one shuffle
+    on the content hash, redaction is a codegen'd map over survivors only
+    (filter-before-expensive-work ordering matters at 100 TB).
+    """
+    d = Catalog(spark, sf_dir).documents
+    ts = F.split(F.lower("text"), " ")
+    n = F.size(ts).cast("double")
+    quality = (
+        F.least(n / 100, F.lit(1.0)) * 0.5
+        + F.least(F.size(F.array_distinct(ts)).cast("double") / n * 2, F.lit(1.0)) * 0.3
+        + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
+    )
+    scored = d.select("doc_id", "text", quality.alias("quality"))
+    keep = (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("ck"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean = F.md5(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        )
+    )
+    return (
+        scored.join(keep, "doc_id")
+        .select("doc_id", F.round("quality", 6).alias("quality"), clean.alias("clean_md5"))
+        .orderBy("doc_id")
+    )
