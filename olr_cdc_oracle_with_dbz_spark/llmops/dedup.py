@@ -412,9 +412,12 @@ def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d")
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
     edges = edges.localCheckpoint()  # small graph; cut the pair-gen lineage
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    # only nodes that HAVE edges participate in propagation; the (vast)
+    # singleton majority is its own cluster and never enters the loop
+    connected = edges.select(F.col("s").alias("doc_id")).distinct().localCheckpoint()
+    labels = connected.select("doc_id", F.col("doc_id").alias("lab"))
     while True:
         neighbor_min = (
             edges.join(labels, edges.s == labels.doc_id)
@@ -439,4 +442,11 @@ def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels._lab_sum = new_sum
         if prev_sum is not None and new_sum == prev_sum:
             break
-    return labels.select("doc_id", F.col("lab").alias("cluster")).orderBy("doc_id")
+    singletons = docs.join(connected, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("lab")
+    )
+    return (
+        labels.unionByName(singletons)
+        .select("doc_id", F.col("lab").alias("cluster"))
+        .orderBy("doc_id")
+    )
