@@ -75,8 +75,56 @@ class SchemaRegistry:
         return sorted(out)
 
     def is_additive(self, old_version: int, new_version: int) -> bool:
-        """True iff new schema only appends fields (auto.evolve-compatible:
-        old events re-parse under the new schema with NULL tails)."""
-        old = [f.strip() for f in self.get(old_version).split(",")]
-        new = [f.strip() for f in self.get(new_version).split(",")]
-        return new[: len(old)] == old and len(new) >= len(old)
+        """True iff the new schema only APPENDS fields, at any nesting
+        level (auto.evolve-compatible: old events re-parse under the new
+        schema with NULL for the appended fields)."""
+        return _is_additive_ddl(self.get(old_version), self.get(new_version))
+
+
+def _split_fields(ddl: str) -> list[str]:
+    """Split a DDL field list on top-level commas (angle-bracket aware)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _field_parts(field: str) -> tuple[str, str]:
+    """('name', 'type') from 'name type' or 'name:type' (struct-inner form)."""
+    norm = " ".join(field.split())
+    if ":" in norm.split("<", 1)[0]:
+        name, typ = norm.split(":", 1)
+    else:
+        name, typ = norm.split(" ", 1)
+    return name.strip(), typ.strip()
+
+
+def _is_additive_ddl(old: str, new: str) -> bool:
+    old_fields = _split_fields(old.strip())
+    new_fields = _split_fields(new.strip())
+    if len(new_fields) < len(old_fields):
+        return False
+    for of, nf in zip(old_fields, new_fields):
+        oname, otyp = _field_parts(of)
+        nname, ntyp = _field_parts(nf)
+        if oname != nname:
+            return False
+        o_struct = otyp.startswith("struct<") and otyp.endswith(">")
+        n_struct = ntyp.startswith("struct<") and ntyp.endswith(">")
+        if o_struct and n_struct:
+            if not _is_additive_ddl(otyp[7:-1], ntyp[7:-1]):
+                return False
+        elif otyp != ntyp:
+            return False
+    return True

@@ -40,10 +40,21 @@ _CURRENT = "_CURRENT"
 class ParquetUpsertTable:
     """A queryable keyed table maintained by micro-batch MERGE."""
 
-    def __init__(self, spark: SparkSession, table_dir: str, key: str = PK):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        key: str = PK,
+        extra_cols: tuple[str, ...] = (),
+    ):
+        """``extra_cols``: evolved image columns to carry through unwrap —
+        the R10 auto.evolve path; rows from pre-evolution events surface
+        NULL for them, and unionByName(allowMissingColumns) inside the
+        merge evolves the existing table additively."""
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
+        self.extra_cols = extra_cols
         os.makedirs(table_dir, exist_ok=True)
 
     # -- read side ---------------------------------------------------------
@@ -138,7 +149,7 @@ class ParquetUpsertTable:
             # per-batch: unwrap envelope rows, then keyed merge. Keeping the
             # state columns (_scn) in the table makes replay idempotent and
             # preserves the total order for the next merge.
-            self.merge_batch(unwrap(env_batch), batch_id)
+            self.merge_batch(unwrap(env_batch, self.extra_cols), batch_id)
 
         return fn
 

@@ -447,3 +447,60 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_schema_evolution_on_resumed_checkpoint(spark, tmp_path):
+    """R10/R16 watch-list: widen the envelope schema, resume the SAME
+    checkpoint — old rows NULL for the new column, new rows carry it,
+    no replay and no failure."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import ENVELOPE_SCHEMA
+    from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
+
+    src = str(tmp_path / "evo_in")
+    ckpt = str(tmp_path / "evo_ck")
+    lines = json_lines()
+
+    # phase 1: v1 schema
+    _write_events(src, lines, "b0.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "evo_tbl"))
+    materialize_stream(read_cdc_stream(spark, src), table, ckpt).awaitTermination(120)
+    assert _final_ids(table) == _GOLDEN
+
+    # register v2 = v1 + category column; produce one evolved event
+    reg = SchemaRegistry(str(tmp_path / "schemas"), "OLR_DB.PRODUCT")
+    reg.register(ENVELOPE_SCHEMA)
+    v2_ddl = ENVELOPE_SCHEMA.replace(
+        "updated_date:bigint>", "updated_date:bigint, category:string>"
+    )
+    assert v2_ddl != ENVELOPE_SCHEMA  # both image structs widened
+    assert reg.register(v2_ddl) == 2 and reg.is_additive(1, 2)
+
+    evolved = _json.dumps({
+        "before": None,
+        "after": {"id": 9, "name": "Evolved", "description": None,
+                  "price": "5.00", "stock": 1,
+                  "created_date": 1704096000000, "updated_date": 1704096000000,
+                  "category": "new-cat"},
+        "op": "c", "ts_ms": 1704096000000,
+        "source": {"schema": "OLR_DB", "table": "PRODUCT", "scn": 200,
+                   "txId": "T9", "rowId": "AAA0x9"},
+    })
+    _write_events(src, [evolved], "b1.jsonl")
+
+    # phase 2: resume same checkpoint, decode pinned to v2, carry the column
+    table2 = ParquetUpsertTable(
+        spark, str(tmp_path / "evo_tbl"), extra_cols=("category",)
+    )
+    materialize_stream(
+        read_cdc_stream(spark, src, envelope_schema=reg.current()),
+        table2,
+        ckpt,
+    ).awaitTermination(120)
+
+    final = {r["id"]: r.asDict() for r in table2.read().collect()}
+    assert "category" in table2.read().columns
+    assert final[9]["category"] == "new-cat"
+    assert all(final[i]["category"] is None for i in final if i != 9)
+    assert len(final) == len(_GOLDEN) + 1  # no replay, one new row
