@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Quickstart: what a user of the reference pipeline runs here instead.
+
+The reference (somatra-dev/olr-cdc-oracle-with-dbz) gives you: a CDC
+pipeline from config, a queryable materialized table, and SQL on the sink
+database. This engine gives you the same three things on Spark — plus the
+analytics and training-data operators the sink database never had.
+
+    python examples/quickstart.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from olr_cdc_oracle_with_dbz_spark import Catalog, get_spark, load_all, run_pipeline
+from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import json_lines
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. The CDC pipeline — one config dict, like PUTting a connector config.
+    work = tempfile.mkdtemp(prefix="quickstart-")
+    src = f"{work}/events"
+    import os
+
+    os.makedirs(src)
+    with open(f"{src}/batch0.jsonl", "w") as f:
+        f.write("\n".join(json_lines()))
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+        "sink": {"table_dir": f"{work}/products", "pk": "id"},
+        "checkpoint": f"{work}/ckpt",
+    }
+    query, table = run_pipeline(spark, config)
+    query.awaitTermination(120)
+    print("\n== materialized products table (upsert+delete applied) ==")
+    table.read().orderBy("id").show()
+
+    # 2. The relational surface — what the reference delegates to Postgres.
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    print("== TPC-H-style pricing summary over lineitem ==")
+    load_all()["q22_hash_agg_tpch_q1"].spark_fn(spark, sf_dir).show()
+
+    # 3. Training-data operators — beyond the reference.
+    print("== curation pipeline: quality gate -> dedup -> PII redaction ==")
+    load_all()["l8_curation_pipeline"].spark_fn(spark, sf_dir).show(5)
+    print("== exact cosine top-k similarity ==")
+    load_all()["l3_cosine_topk"].spark_fn(spark, sf_dir).show(5)
+
+
+if __name__ == "__main__":
+    main()
