@@ -112,3 +112,27 @@ def test_setop_parity(spark, rows, rows2):
         got,
         con.sql("SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)"),
     )
+
+
+@given(rows=st.lists(ROW, max_size=25))
+@SETTINGS
+def test_window_rank_parity(spark, rows):
+    """row_number over a TOTAL order (ties broken by all columns) must
+    agree across engines for arbitrary duplicate-heavy data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = _spark_df(spark, rows)
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc_nulls_first(), F.col("s").asc_nulls_first()
+    )
+    got = df.withColumn("rn", F.row_number().over(w))
+    con = duckdb.connect()
+    con.register("t", _pdf(rows))
+    _compare(
+        got,
+        con.sql(
+            "SELECT *, CAST(row_number() OVER (PARTITION BY k "
+            "ORDER BY v ASC NULLS FIRST, s ASC NULLS FIRST) AS INT) AS rn FROM t"
+        ),
+    )
