@@ -86,3 +86,52 @@ def run_pipeline(
         env, table, config["checkpoint"], trigger_once=trigger_once
     )
     return query, table
+
+
+def run_fanout_pipeline(
+    spark: SparkSession, config: dict, trigger_once: bool = True
+) -> tuple[StreamingQuery, dict[str, ParquetUpsertTable]]:
+    """Multi-table capture: one stream, one checkpoint, per-table MERGE.
+
+    The reference's OLR filter is an ARRAY of tables sharing one capture
+    stream (/root/reference/scripts/OpenLogReplicator.json:32-39); here
+    the equivalent is a single file/Kafka source whose micro-batches are
+    routed by ``source.table`` inside ``foreachBatch`` — one offset log
+    covers every sink atomically, so a restart can never leave tables at
+    different stream positions (the cross-table consistency the
+    reference gets from its single connector).
+
+    Config: like :func:`run_pipeline` but ``filter.tables`` is a list and
+    ``sink.root_dir`` holds one subdirectory per table.
+    """
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import parse_envelope
+
+    src = config["source"]
+    flt = config.get("filter", {})
+    schema_name = flt.get("schema", "OLR_DB")
+    tables: list[str] = flt["tables"]
+    root = config["sink"]["root_dir"]
+    key = config["sink"].get("pk", PK)
+
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.format("text").load(src["path"])
+    env = parse_envelope(raw, "value").filter(F.col("_schema") == schema_name)
+
+    sinks = {t: ParquetUpsertTable(spark, f"{root}/{t}", key=key) for t in tables}
+
+    def route(batch, batch_id: int) -> None:
+        from olr_cdc_oracle_with_dbz_spark.cdc.envelope import unwrap
+
+        for t, table in sinks.items():
+            part = batch.filter(F.col("_table") == t)
+            table.merge_batch(unwrap(part), batch_id)
+
+    writer = (
+        env.writeStream.outputMode("update")
+        .foreachBatch(route)
+        .option("checkpointLocation", config["checkpoint"])
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sinks

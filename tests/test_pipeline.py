@@ -82,3 +82,42 @@ def test_schema_registry_versioning_and_evolution(tmp_path):
     assert reg.is_additive(1, 2)
     assert not reg.is_additive(2, 1)
     assert reg.get(1) == ENVELOPE_SCHEMA.strip()
+
+
+def test_fanout_pipeline_routes_multiple_tables(spark, tmp_path):
+    """One capture stream, one checkpoint, two materialized tables —
+    the reference's multi-table filter array, Spark form."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.pipeline import run_fanout_pipeline
+
+    src = str(tmp_path / "fan_in")
+    lines = json_lines()
+    # synthesize a second table's history by re-tagging half the events
+    other = [
+        _json.dumps({**_json.loads(s), "source": {**_json.loads(s)["source"], "table": "INVENTORY"}})
+        for s in lines[:5]
+    ]
+    _write(src, lines + other, "b0.jsonl")
+
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "tables": ["PRODUCT", "INVENTORY"]},
+        "sink": {"root_dir": str(tmp_path / "tables"), "pk": "id"},
+        "checkpoint": str(tmp_path / "fan_ck"),
+    }
+    q, sinks = run_fanout_pipeline(spark, config)
+    q.awaitTermination(120)
+
+    prod = {r["id"] for r in sinks["PRODUCT"].read().collect()}
+    inv = {r["id"] for r in sinks["INVENTORY"].read().collect()}
+    assert prod == {r[0] for r in EXPECTED_FINAL}
+    # INVENTORY saw only the first 5 events (3 snapshot reads + insert +
+    # update of id 4) — no delete, so id 4 is live there
+    assert inv == {1, 2, 3, 4}
+
+    # restart with no new data: neither table replays
+    v_before = {t: s.current_version() for t, s in sinks.items()}
+    q2, sinks2 = run_fanout_pipeline(spark, config)
+    q2.awaitTermination(120)
+    assert {t: s.current_version() for t, s in sinks2.items()} == v_before
