@@ -504,3 +504,53 @@ def test_streaming_schema_evolution_on_resumed_checkpoint(spark, tmp_path):
     assert final[9]["category"] == "new-cat"
     assert all(final[i]["category"] is None for i in final if i != 9)
     assert len(final) == len(_GOLDEN) + 1  # no replay, one new row
+
+
+def test_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append output mode: a window row is emitted exactly once, and only
+    after the watermark passes its end — open windows stay unemitted."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if any(f.name == "ts" and str(f.dataType) == "LongType()" for f in ev.schema.fields):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = str(tmp_path / "ap_in")
+    ev.select("event_id", "user_id", "ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+    )
+    counts = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = str(tmp_path / "ap_out")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ap_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {
+        (r["w"]["start"], r["n"]) for r in spark.read.parquet(out).collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        (r["w"]["start"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # emitted ⊆ batch, and exactly the windows whose END precedes the
+    # final watermark (max event time - 30 min)
+    assert emitted <= batch
+    import datetime as _dt
+
+    wm = max_ts - _dt.timedelta(minutes=30)
+    expect = {
+        (s, n) for (s, n) in batch if s + _dt.timedelta(hours=1) <= wm
+    }
+    assert emitted == expect and len(expect) > 0
