@@ -199,3 +199,46 @@ def q31b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q21b_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click'    THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           COUNT(*) FILTER (WHERE t_signup < t_click) AS n_then_click,
+           COUNT(*) FILTER (WHERE t_signup < t_click AND t_click < t_buy) AS n_full_funnel
+    FROM f
+    """,
+)
+def q21b_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: signup → click → purchase per user.
+
+    Conditional-min first-touch times in ONE aggregation pass (never a
+    per-stage self-join — at 100 TB that's the difference between one
+    shuffle on user_id and three). Strict ordering between stages.
+    """
+    ev = Catalog(spark, sf_dir).events
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    f = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    return f.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t_signup") < F.col("t_click"), 1)).alias("n_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_signup") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
