@@ -242,3 +242,44 @@ def q21b_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q21c_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS c FROM act GROUP BY user_id
+    )
+    SELECT c.c AS cohort_week,
+           COUNT(DISTINCT c.user_id) AS n_cohort,
+           COUNT(DISTINCT CASE WHEN a.wk = c.c + INTERVAL 7 DAY
+                               THEN a.user_id END) AS n_retained_w1
+    FROM cohort c JOIN act a ON c.user_id = a.user_id
+    GROUP BY c.c ORDER BY c.c
+    """,
+)
+def q21c_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: of users first active in week W, how many
+    are active again in W+1. Two aggregations on the same distinct
+    activity set (ReusedExchange), join back on user — one user-keyed
+    shuffle end to end."""
+    ev = Catalog(spark, sf_dir).events
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("c"))
+    joined = cohort.join(act, "user_id")
+    return (
+        joined.groupBy(F.col("c").alias("cohort_week"))
+        .agg(
+            F.countDistinct("user_id").alias("n_cohort"),
+            F.countDistinct(
+                F.when(F.col("wk") == F.col("c") + F.expr("INTERVAL 7 DAY"), F.col("user_id"))
+            ).alias("n_retained_w1"),
+        )
+        .orderBy("cohort_week")
+    )
