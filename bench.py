@@ -39,6 +39,9 @@ def main() -> None:
 
     registry = load_all()
     names = [n for n, s in sorted(registry.items()) if s.bench]
+    if os.environ.get("BENCH_QUERIES"):  # comma-separated subset for iteration
+        keep = set(os.environ["BENCH_QUERIES"].split(","))
+        names = [n for n in names if n in keep]
 
     # ingest: mirror the testdata through the scan-parallel layout rewrite
     # (sources/layout.py — identical bytes, row groups sized for the core

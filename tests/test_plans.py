@@ -106,3 +106,12 @@ def test_compaction_is_single_shuffle_window(spark, sf_dir, reg):
     pre_sort = plan.split("Sort", 1)[0]
     assert plan.count("Exchange hashpartitioning(id") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_funnel_and_retention_single_user_shuffle(spark, sf_dir, reg):
+    """q21b/q21c: one hash exchange on user_id feeds the whole analysis —
+    per-stage self-joins would multiply that at scale."""
+    for name in ("q21b_funnel", "q21c_retention"):
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2, name
+        assert "CartesianProduct" not in plan, name
