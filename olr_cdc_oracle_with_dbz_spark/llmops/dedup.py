@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.registry import register
@@ -448,5 +449,77 @@ def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.unionByName(singletons)
         .select("doc_id", F.col("lab").alias("cluster"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l9_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {_SQL_HASH60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def l9_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: deterministic hash-based train/val/test assignment (80/10/10).
+
+    Content-independent, order-independent, reshuffle-proof: the split of
+    a document never changes when the corpus grows or repartitions —
+    the property random() splits lack and training pipelines need.
+    Portable md5-derived hash so the oracle agrees bit-for-bit.
+    """
+    d = Catalog(spark, sf_dir).documents
+    h = _hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+@register(
+    "l9b_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_HASH60.format(x="'samp:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked
+    WHERE rn <= CAST(ceil(n_lang * 0.1) AS BIGINT)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9b: deterministic 10% stratified sample per language.
+
+    Rank documents inside each stratum by a seeded hash (a deterministic
+    permutation) and keep the top ceil(10%) — exact strata proportions,
+    stable across runs and partitionings; one shuffle on the stratum key.
+    """
+    d = Catalog(spark, sf_dir).documents
+    hcol = _hash60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(hcol, "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.1).cast("bigint"))
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     )
