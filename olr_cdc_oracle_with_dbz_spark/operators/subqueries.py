@@ -47,7 +47,11 @@ seg AS (
 )
 SELECT s.c_mktsegment,
        COUNT(*) AS n_cust,
-       ROUND(CAST(SUM(r.rev) AS DOUBLE), 6) AS segment_rev,
+       -- round in the DECIMAL domain: ROUND(double, 6) of a ~1e10 value
+       -- differs by 1 ulp between engines (6-dp decimals of that
+       -- magnitude aren't representable as doubles); decimal round is
+       -- exact in both, and the final double cast picks the same nearest
+       CAST(ROUND(SUM(r.rev), 2) AS DOUBLE) AS segment_rev,
        SUM(r.n_orders) AS segment_orders
 FROM cust_rev r JOIN seg s ON r.o_custkey = s.c_custkey
 GROUP BY s.c_mktsegment

@@ -20,6 +20,12 @@ query, on BOTH sides:
    truncates to microseconds on read, so DuckDB oracles cast
    ``ts::TIMESTAMP`` (same truncation) before use.
 6. Every query ends with a total ``ORDER BY`` on a unique key set.
+7. **Large-magnitude rounding**: ``ROUND(double, 6)`` of values ≳1e9 can
+   differ by 1 ulp across engines (a 6-dp decimal of that magnitude is
+   not representable as a double, and the engines' round kernels pick
+   differently). Where a checked output can exceed ~1e9, round in the
+   DECIMAL domain first and cast to double last (see q49) — caught by
+   the sf0.1 sweep, invisible at sf0.01.
 
 These helpers build the Spark side; the matching SQL fragments are inlined in
 each spec's oracle string.
