@@ -66,6 +66,40 @@ def run_pipeline(
             reg.register(ENVELOPE_SCHEMA)
         envelope_ddl = reg.current()
 
+    sink = config["sink"]
+    table = ParquetUpsertTable(spark, sink["table_dir"], key=sink.get("pk", PK))
+
+    if "quarantine" in config:
+        # permissive-ingest form: parse inside foreachBatch so undecodable
+        # lines divert to the dead-letter dir instead of failing the stream
+        # (unknown-type passthrough posture, OpenLogReplicator.json:25)
+        from pyspark.sql import functions as F
+
+        from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
+            quarantine_malformed,
+            unwrap,
+        )
+
+        qdir = config["quarantine"]
+        raw = spark.readStream.format("text").load(src["path"])
+
+        def fn(batch, batch_id: int) -> None:
+            good, bad = quarantine_malformed(batch, schema=envelope_ddl)
+            bad.write.mode("append").parquet(qdir)
+            good = good.filter(
+                (F.col("_schema") == schema_name) & (F.col("_table") == table_name)
+            )
+            table.merge_batch(unwrap(good), batch_id)
+
+        writer = (
+            raw.writeStream.outputMode("update")
+            .foreachBatch(fn)
+            .option("checkpointLocation", config["checkpoint"])
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start(), table
+
     if "kafka" in src:
         from olr_cdc_oracle_with_dbz_spark.sources.kafka import read_kafka_cdc
 
@@ -80,8 +114,6 @@ def run_pipeline(
             envelope_schema=envelope_ddl,
         )
 
-    sink = config["sink"]
-    table = ParquetUpsertTable(spark, sink["table_dir"], key=sink.get("pk", PK))
     query = materialize_stream(
         env, table, config["checkpoint"], trigger_once=trigger_once
     )

@@ -121,3 +121,29 @@ def test_fanout_pipeline_routes_multiple_tables(spark, tmp_path):
     q2, sinks2 = run_fanout_pipeline(spark, config)
     q2.awaitTermination(120)
     assert {t: s.current_version() for t, s in sinks2.items()} == v_before
+
+
+def test_pipeline_with_quarantine_dead_letters(spark, tmp_path):
+    """Permissive pipeline: bad lines divert to the dead-letter dir, good
+    events still converge to the golden state."""
+    src = str(tmp_path / "q_in")
+    bad_lines = ["{broken", '{"not": "an envelope"}']
+    _write(src, json_lines() + bad_lines, "b0.jsonl")
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+        "sink": {"table_dir": str(tmp_path / "q_tbl"), "pk": "id"},
+        "checkpoint": str(tmp_path / "q_ck"),
+        "quarantine": str(tmp_path / "dead_letters"),
+    }
+    q, table = run_pipeline(spark, config)
+    q.awaitTermination(120)
+
+    rows = [
+        (r["id"], r["name"], float(r["price"]), r["stock"])
+        for r in table.read().select("id", "name", "price", "stock").orderBy("id").collect()
+    ]
+    assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
+    dead = spark.read.parquet(str(tmp_path / "dead_letters"))
+    assert dead.count() == len(bad_lines)
+    assert set(r["error"] for r in dead.collect()) == {"unparseable-envelope"}
