@@ -523,3 +523,47 @@ def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register("l2f_minhash_ml", oracle=None, tags=("llm", "dedup"))
+def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f (APPROX): spark.ml MinHashLSH — the library-native near-dup path.
+
+    Shingles → sparse binary vectors (HashingTF) → MinHashLSH
+    ``approxSimilarityJoin`` at Jaccard-distance ≤ 0.8. Same candidate
+    semantics as the hand-rolled l2_minhash_lsh; kept as the
+    library-maintained alternative (SURVEY §2B L2). Fixed seed —
+    deterministic across runs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    tri = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ts", i + 1),
+                F.element_at("ts", i + 2),
+                F.element_at("ts", i + 3),
+            ),
+        ).alias("shingles"),
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(tri)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

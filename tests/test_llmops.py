@@ -180,3 +180,21 @@ def test_generalized_asof_join(spark, sf_dir):
     # click timestamp each side selected, which must be identical
     ts_of = {r["event_id"]: r["ts"] for r in ev.filter("event_type='click'").collect()}
     assert {k: ts_of.get(v) for k, v in g.items()} == {k: ts_of.get(v) for k, v in w.items()}
+
+
+def test_ml_minhash_recalls_exact_high_jaccard_pairs(spark):
+    """spark.ml MinHashLSH path must recall the exact high-similarity
+    pairs (trigram Jaccard >= 0.8 from the exact l2b computation)."""
+    reg = load_all()
+    exact_high = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["l2b_ngram_jaccard"].spark_fn(spark, SF).collect()
+        if r["jaccard"] >= 0.85
+    }
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["l2f_minhash_ml"].spark_fn(spark, SF).collect()
+    }
+    assert exact_high, "fixture corpus must contain planted near-dups"
+    missed = exact_high - ml_pairs
+    assert not missed, f"ml LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
