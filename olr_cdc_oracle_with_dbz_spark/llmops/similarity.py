@@ -303,3 +303,51 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(topk, "query_id bigint, neighbor_id bigint, cosine double, rnk int")
         .orderBy("query_id", "rnk")
     )
+
+
+@register("l4d_ann_ml_brp", oracle=None, tags=("llm", "similarity"))
+def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4d (APPROX): spark.ml BucketedRandomProjectionLSH ANN.
+
+    Library-native euclidean LSH (SURVEY §2B L4): normalized vectors make
+    euclidean distance monotone in cosine (||a-b||² = 2 - 2·cos for unit
+    vectors), so bucketing on normalized embeddings approximates cosine
+    neighbors; exact cosine reranks the candidates. Fixed seed.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = with_norm(Catalog(spark, sf_dir).embeddings)
+    unit = emb.select(
+        "vec_id",
+        "vec",
+        "norm",
+        array_to_vector(
+            F.transform("vec", lambda x: x / F.col("norm"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.8, numHashTables=3, seed=42
+    )
+    model = lsh.fit(unit)
+    q = unit.filter(F.col("vec_id") < _N_QUERIES)
+    # distance 1.2 on unit vectors ≈ cosine ≥ 0.28 — wide enough to rerank
+    pairs = model.approxSimilarityJoin(q, unit, 1.2, distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("datasetA.vec"), F.col("datasetB.vec"))
+        / (F.col("datasetA.norm") * F.col("datasetB.norm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -198,3 +198,18 @@ def test_ml_minhash_recalls_exact_high_jaccard_pairs(spark):
     assert exact_high, "fixture corpus must contain planted near-dups"
     missed = exact_high - ml_pairs
     assert not missed, f"ml LSH missed high-jaccard pairs: {sorted(missed)[:5]}"
+
+
+def test_ann_ml_brp_recall_vs_exact(spark):
+    """spark.ml BucketedRandomProjectionLSH path: recall floor vs exact."""
+    reg = load_all()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["l3_cosine_topk"].spark_fn(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in reg["l4d_ann_ml_brp"].spark_fn(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ml BRP-LSH recall collapsed: {recall:.3f}"
