@@ -525,7 +525,7 @@ def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2f_minhash_ml", oracle=None, tags=("llm", "dedup"))
+@register("l2f_minhash_ml", oracle=None, bench=False, tags=("llm", "dedup"))
 def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2f (APPROX): spark.ml MinHashLSH — the library-native near-dup path.
 

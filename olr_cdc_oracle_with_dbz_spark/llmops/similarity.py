@@ -305,7 +305,7 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l4d_ann_ml_brp", oracle=None, tags=("llm", "similarity"))
+@register("l4d_ann_ml_brp", oracle=None, bench=False, tags=("llm", "similarity"))
 def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4d (APPROX): spark.ml BucketedRandomProjectionLSH ANN.
 
