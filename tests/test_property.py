@@ -136,3 +136,49 @@ def test_window_rank_parity(spark, rows):
             "ORDER BY v ASC NULLS FIRST, s ASC NULLS FIRST) AS INT) AS rn FROM t"
         ),
     )
+
+
+@given(rows=st.lists(ROW, max_size=20), rows2=st.lists(ROW, max_size=20))
+@SETTINGS
+def test_intersect_parity(spark, rows, rows2):
+    """INTERSECT (distinct, NULL-aware) must match across engines."""
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2)
+    got = a.intersect(b)
+    con = duckdb.connect()
+    con.register("a", _pdf(rows))
+    con.register("b", _pdf(rows2))
+    _compare(got, con.sql("SELECT * FROM a INTERSECT SELECT * FROM b"))
+
+
+ASCII = st.one_of(st.none(), st.text(alphabet=" abcXYZ09_-", max_size=12))
+
+
+@given(vals=st.lists(st.tuples(st.integers(0, 30), ASCII), max_size=25))
+@SETTINGS
+def test_string_function_parity(spark, vals):
+    """substr/length/upper/trim/concat agree on the ASCII subset for
+    arbitrary inputs incl. NULL and empty strings."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(vals, columns=["i", "s"]).astype({"i": "int64", "s": "object"})
+    df = spark.createDataFrame(pdf, schema="i long, s string")
+    got = df.select(
+        "i",
+        F.length("s").alias("ln"),
+        F.upper("s").alias("up"),
+        F.substring("s", 2, 3).alias("sub"),
+        F.trim("s").alias("tr"),
+        F.concat_ws("|", "s", "s").alias("cc"),
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    _compare(
+        got,
+        con.sql(
+            "SELECT i, CAST(length(s) AS INT) AS ln, upper(s) AS up, "
+            "substr(s, 2, 3) AS sub, trim(s) AS tr, "
+            "concat_ws('|', s, s) AS cc FROM t"
+        ),
+    )
