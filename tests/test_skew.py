@@ -47,3 +47,22 @@ def test_salted_join_equals_plain(spark):
     )
     assert salted == plain
     assert len(plain) == 50_000  # every probe row matched exactly once
+
+
+def test_salted_left_join_keeps_unmatched_probe_rows(spark):
+    probe = _skewed(spark)  # keys include 7 and values up to 99
+    build = spark.range(50).select(  # only keys 0-49 present
+        F.col("id").alias("k"), F.concat(F.lit("dim"), F.col("id")).alias("name")
+    )
+    plain = sorted(
+        (r["row_id"], r["name"])
+        for r in probe.join(build, "k", "left").select("row_id", "name").collect()
+    )
+    salted = sorted(
+        (r["row_id"], r["name"])
+        for r in salted_join(probe, build, "k", "row_id", how="left")
+        .select("row_id", "name")
+        .collect()
+    )
+    assert salted == plain
+    assert any(name is None for _, name in plain)  # unmatched rows exist
