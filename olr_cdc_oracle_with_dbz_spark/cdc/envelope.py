@@ -131,18 +131,41 @@ def quarantine_malformed(
     return good, bad
 
 
-def compact_latest(unwrapped: DataFrame, key: str = PK) -> DataFrame:
+def compact_latest(
+    unwrapped: DataFrame, key: str = PK, keep_tombstones: bool = False
+) -> DataFrame:
     """R8/R9: keyed upsert compaction — latest ``_scn`` per key wins,
     surviving deletes are dropped.
+
+    ``keep_tombstones=True`` retains a ``(key, _scn, __deleted=true)``
+    tombstone row for deleted keys instead of dropping them — the
+    materialization sink stores these so an out-of-order older event
+    arriving in a LATER micro-batch cannot resurrect a deleted row
+    (Delta-style tombstone retention; readers filter ``__deleted``).
 
     Per-key order is total because SCN is a total order over commits; Spark
     cannot rely on arrival order across partitions (unlike the reference's
     ``tasks.max=1`` serialization, README.md:805,837 — documented delta R20),
     so ordering is always re-derived from ``(_scn)``.
+
+    Tie-break: two ops on the same key inside one Oracle transaction can
+    COMMIT under the same SCN. ``_scn`` alone would make ``row_number``
+    nondeterministic there, so the sort adds op precedence (d > u > c/r —
+    within a same-SCN group the logically-latest state of a key is the
+    delete if one exists, else the update) and ``_rowid`` as a final
+    deterministic key.
     """
-    w = Window.partitionBy(key).orderBy(F.col("_scn").desc())
-    return (
-        unwrapped.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (~F.col("__deleted")))
-        .drop("_rn", "__deleted", "op", "_txid", "_rowid")
+    op_rank = (
+        F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("_scn").desc(), op_rank.desc(), F.col("_rowid").desc()
+    )
+    latest = unwrapped.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    if keep_tombstones:
+        return latest.drop("_rn", "op", "_txid", "_rowid")
+    return latest.filter(~F.col("__deleted")).drop(
+        "_rn", "__deleted", "op", "_txid", "_rowid"
     )

@@ -164,10 +164,13 @@ _L2B_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents
     ), tri AS (
+      -- docs with < 3 tokens emit ZERO shingles (matches the Spark side;
+      -- without the guard the two engines' concat semantics diverge:
+      -- concat_ws skips missing elements, || with NULL yields NULL)
       SELECT DISTINCT doc_id, lang,
-             unnest(list_transform(range(1, greatest(len(ts) - 1, 2)),
+             unnest(list_transform(range(1, len(ts) - 1),
                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
-      FROM toks
+      FROM toks WHERE len(ts) >= 3
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id
     ), inter AS (
@@ -189,17 +192,20 @@ _L2B_ORACLE = f"""
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered trigram-Jaccard pair set (shared by l2b and l2e)."""
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts"))
-    # shingles reduced to 64-bit xxhash BEFORE the dedup/join shuffles —
-    # 8-byte keys instead of ~20-byte strings through two exchanges; the
-    # equi-join result is unchanged (collision odds ~|shingles|²/2⁶⁴).
+    # docs with < 3 tokens produce zero shingles (cross-engine contract —
+    # see the oracle CTE comment); shingles reduced to 64-bit xxhash BEFORE
+    # the dedup/join shuffles — 8-byte keys instead of ~20-byte strings
+    # through two exchanges; the equi-join result is unchanged (collision
+    # odds ~|shingles|²/2⁶⁴).
+    toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
     tri = toks.select(
         "doc_id",
         "lang",
         F.explode(
             F.transform(
-                # range(1, max(len-1, 2)) end-exclusive == sequence(0, max(len-3, 0)) here
-                F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
+                F.sequence(F.lit(0), F.size("ts") - 3),
                 lambda i: F.xxhash64(
                     F.concat_ws(
                         " ",

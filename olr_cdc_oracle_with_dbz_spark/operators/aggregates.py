@@ -336,19 +336,41 @@ def q29_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q29b_approx_aggs", oracle=None)
+@register(
+    "q29b_approx_aggs",
+    oracle="""
+    SELECT o_orderpriority, TRUE AS cust_within_eps, TRUE AS median_within_eps
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def q29b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX: HLL count-distinct + approx percentile (bench-only, rows check).
+    """APPROX: HLL count-distinct + approx percentile, ε-bounded vs exact.
 
     At 100 TB these replace their exact forms: HLL sketches merge map-side
-    (no shuffle of distinct values), approx_percentile bounds state.
+    (no shuffle of distinct values), approx_percentile bounds state. The
+    checked output is the per-group ``|approx - exact| / exact ≤ ε`` flags
+    (ε = 3·rsd for HLL, 2% for the median) — SQL-expressible as all-TRUE,
+    so the sketch accuracy itself is under the driver's hash gate.
     """
     o = Catalog(spark, sf_dir).orders
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+            F.countDistinct("o_custkey").alias("exact_cust"),
             F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        )
+        .select(
+            "o_orderpriority",
+            (
+                F.abs(F.col("approx_cust") - F.col("exact_cust"))
+                <= 0.06 * F.col("exact_cust")
+            ).alias("cust_within_eps"),
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median"))
+                <= 0.02 * F.abs(F.col("exact_median"))
+            ).alias("median_within_eps"),
         )
         .orderBy("o_orderpriority")
     )

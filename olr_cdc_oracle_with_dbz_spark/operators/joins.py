@@ -310,27 +310,37 @@ def asof_join(
 
     Union-then-window formulation (the scale shape): tag both sides, sort
     each key's rows by time once, and carry the most recent right-side
-    values forward with ``last(ignorenulls=True)``. ONE shuffle on the key
-    — never a per-row range probe, never a broadcast of either side.
+    ROW forward with ``last(ignorenulls=True)`` over a single struct. ONE
+    shuffle on the key — never a per-row range probe, never a broadcast of
+    either side.
     Ties (right_ts == left_ts): the right row is visible to that left row.
+
+    The carry is one struct of the whole right row (not per-column): all
+    matched values come from the SAME latest right row, so a genuinely
+    NULL value in the latest right row stays NULL instead of being
+    back-filled from an older row (per-column ``last(ignorenulls)`` would
+    skip it — the classic as-of NULL hazard).
     Citation: SURVEY.md Q21 (DuckDB ASOF JOIN equivalent); used there for
     latest-event-per-user-at-cutoff.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (by, right_ts)
     ]
+    r_struct_t = F.struct(*[F.col(c) for c in value_cols])
     l_tag = left.select(
         F.col(by),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(right.select(r_struct_t.alias("_r")).schema["_r"].dataType)
+        .alias("_r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
     )
     r_tag = right.select(
         F.col(by),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        r_struct_t.alias("_r"),
         F.lit(None)
         .cast(l_tag.schema["_l"].dataType)
         .alias("_l"),
@@ -344,13 +354,10 @@ def asof_join(
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+        *[F.col("_c")[c].alias(c) for c in value_cols],
     )
     return out

@@ -186,7 +186,7 @@ def q11_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p_size AS DOUBLE)                          AS size_d,
            CAST(p_size AS VARCHAR)                         AS size_s,
            CAST(CAST(p_partkey AS VARCHAR) AS BIGINT)      AS key_rt,
-           CAST(p_retailprice AS DECIMAL(12,2))            AS price_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dbl,
            CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_s,
            CAST(CAST(p_size AS VARCHAR) || '.5' AS DOUBLE) AS str_to_d
     FROM part ORDER BY p_partkey
@@ -198,6 +198,12 @@ def q12_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately excludes double→int (Spark truncates, ANSI engines round —
     a documented semantic difference; the engine's public surface offers
     floor/ceil/round for explicit intent).
+
+    Decimals are never emitted bare in checked output: the reference's wire
+    contract renders decimals as strings (``decimal.handling.mode=string``,
+    /root/reference/README.md:823), and cross-engine Decimal objects hash
+    differently from float64 — so the decimal path is exercised through its
+    DOUBLE and VARCHAR renderings (``price_dbl`` / ``price_s``).
     """
     p = Catalog(spark, sf_dir).part
     dec = F.col("p_retailprice").cast("decimal(12,2)")
@@ -206,7 +212,7 @@ def q12_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size_d"),
         F.col("p_size").cast("string").alias("size_s"),
         F.col("p_partkey").cast("string").cast("bigint").alias("key_rt"),
-        dec.alias("price_dec"),
+        dec.cast("double").alias("price_dbl"),
         dec.cast("string").alias("price_s"),
         F.concat(F.col("p_size").cast("string"), F.lit(".5")).cast("double").alias("str_to_d"),
     ).orderBy("p_partkey")

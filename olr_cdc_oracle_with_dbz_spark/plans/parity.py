@@ -28,6 +28,29 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
+def decimal_columns(df: pd.DataFrame) -> set:
+    """Column names whose first non-null value is a ``decimal.Decimal``.
+
+    The driver's comparator hashes raw fetched values, so a Spark-side
+    ``Decimal("900.00")`` and a DuckDB float64 ``900.0`` hash differently even
+    though they are numerically equal. ``compare_frames`` therefore treats
+    Decimal-on-one-side-only as a mismatch instead of silently normalizing —
+    checked queries must render decimals (cast to DOUBLE or VARCHAR) on both
+    sides, matching the reference's decimal-as-string wire contract
+    (/root/reference/README.md:823).
+    """
+    import decimal
+
+    out = set()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], decimal.Decimal):
+                out.add(c)
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Canonical pandas form: columns sorted by name, rows sorted, dtypes unified."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -65,6 +88,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    dec_a, dec_b = decimal_columns(spark_pdf), decimal_columns(oracle_pdf)
+    if dec_a != dec_b:
+        return False, (
+            f"decimal-typed columns differ (driver would hash-mismatch): "
+            f"spark={sorted(dec_a)} oracle={sorted(dec_b)}"
+        )
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
         return False, f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"

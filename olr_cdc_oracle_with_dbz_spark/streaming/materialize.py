@@ -5,27 +5,41 @@ sink in upsert mode + delete propagation (/root/reference/README.md:839-845).
 The Spark-native equivalent is ``writeStream.foreachBatch`` running a keyed
 MERGE per micro-batch into a table the rest of the engine can query.
 
-This local build has no Delta/Iceberg jars, so the table is a **versioned
-parquet directory with an atomic pointer swap** — same MERGE semantics,
-lakehouse-format-free:
+This local build has no Delta/Iceberg jars, so the table is a
+**hash-bucketed parquet directory with a versioned manifest and an atomic
+pointer swap** — the same MERGE semantics at delta-file (here: bucket)
+granularity:
 
     table_dir/
-      _CURRENT            # text file: name of the live version dir
-      v00000000000042/    # parquet snapshot written by batch 42
+      _CURRENT                        # text file: name of the live version
+      v00000000000042.manifest.json   # {"n_buckets": N, "buckets": {"3": "v.../pb=3", ...}}
+      v00000000000042/pb=3/...parquet # bucket 3 as rewritten by batch 42
 
-On a cluster this class swaps its ``_merge_and_write`` for
+A micro-batch MERGE rewrites ONLY the buckets its keys hash into; untouched
+buckets stay referenced at their old version paths. Per-batch write cost is
+O(batch + touched-bucket bytes), not O(table) — at 100 TB with localized key
+activity a batch touches a handful of buckets, which is exactly Delta's
+file-rewrite granularity (``DeltaTable.merge`` rewrites only files whose
+key ranges match). On a cluster this class swaps for
 ``DeltaTable.merge(...).whenMatchedUpdate/Delete.whenNotMatchedInsert`` —
-the dataflow (dedup latest per key by SCN → merge) is identical.
+the dataflow (dedup latest per key by SCN → bucket-pruned merge) is
+identical.
+
+Deletes leave **tombstones**: the stored state keeps ``(key, _scn,
+__deleted=true)`` rows so an out-of-order older event arriving in a later
+micro-batch cannot resurrect a deleted key; readers filter them out.
+Tombstones persist until major compaction (Delta-style retention window).
 
 Exactly-once: foreachBatch may replay a batch after failure; the merge is
 idempotent (latest-SCN-wins is a deterministic function of {current state ∪
-batch}), and the version dir is keyed by batch id, so replays overwrite
+batch}), and the version label is keyed by batch id, so replays overwrite
 rather than duplicate — together with the checkpoint offset log this gives
 the reference's effective exactly-once contract (R15).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,10 +49,11 @@ from pyspark.sql.streaming import StreamingQuery
 from olr_cdc_oracle_with_dbz_spark.cdc.envelope import PK, compact_latest, unwrap
 
 _CURRENT = "_CURRENT"
+_PB = "pb"  # bucket partition column
 
 
 class ParquetUpsertTable:
-    """A queryable keyed table maintained by micro-batch MERGE."""
+    """A queryable keyed table maintained by bucket-granular micro-batch MERGE."""
 
     def __init__(
         self,
@@ -46,18 +61,25 @@ class ParquetUpsertTable:
         table_dir: str,
         key: str = PK,
         extra_cols: tuple[str, ...] = (),
+        n_buckets: int = 16,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
         NULL for them, and unionByName(allowMissingColumns) inside the
-        merge evolves the existing table additively."""
+        merge evolves the existing table additively.
+
+        ``n_buckets``: key-hash bucket count. Sized so one bucket's bytes
+        fit an executor comfortably (at 100 TB: thousands of buckets); the
+        local default keeps test tables in a handful of files.
+        """
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
+        self.n_buckets = n_buckets
         os.makedirs(table_dir, exist_ok=True)
 
-    # -- read side ---------------------------------------------------------
+    # -- manifest / pointer ------------------------------------------------
     def current_version(self) -> str | None:
         ptr = os.path.join(self.table_dir, _CURRENT)
         if not os.path.exists(ptr):
@@ -66,81 +88,145 @@ class ParquetUpsertTable:
             v = f.read().strip()
         return v or None
 
-    def read(self, version: str | None = None) -> DataFrame | None:
-        """Read the live version, or time-travel to any retained version.
+    def _manifest_path(self, version: str) -> str:
+        return os.path.join(self.table_dir, f"{version}.manifest.json")
 
-        Every micro-batch MERGE writes a full new version dir and flips the
-        pointer, so history is retained until vacuumed — the same contract
-        Delta's transaction log provides (``VERSION AS OF``), here with
-        directory granularity.
-        """
+    def _manifest(self, version: str | None = None) -> dict | None:
         v = version or self.current_version()
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.table_dir, v))
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, version: str, buckets: dict[str, str]) -> None:
+        """Write the manifest then atomically flip the pointer."""
+        with open(self._manifest_path(version), "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "buckets": buckets}, f)
+        tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.table_dir, _CURRENT))  # atomic swap
+
+    # -- read side ---------------------------------------------------------
+    def read(self, version: str | None = None) -> DataFrame | None:
+        """Read the live version, or time-travel to any retained version.
+
+        Every micro-batch MERGE commits a new manifest, so history is
+        retained until vacuumed — the contract Delta's transaction log
+        provides (``VERSION AS OF``), here with manifest granularity.
+        Tombstoned (deleted) keys are filtered out at read time.
+        """
+        m = self._manifest(version)
+        if m is None:
+            return None
+        paths = [os.path.join(self.table_dir, rel) for rel in m["buckets"].values()]
+        if not paths:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "__deleted" in df.columns:
+            df = df.filter(~F.col("__deleted")).drop("__deleted")
+        return df
 
     def versions(self) -> list[str]:
         """All retained versions, oldest→newest (batch id order)."""
+        suffix = ".manifest.json"
         return sorted(
-            d for d in os.listdir(self.table_dir) if d.startswith("v")
+            f[: -len(suffix)]
+            for f in os.listdir(self.table_dir)
+            if f.endswith(suffix)
         )
 
     def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` versions (never the live one)."""
+        """Drop all but the newest ``keep`` manifests (never the live one),
+        then garbage-collect data dirs no retained manifest references."""
         import shutil
 
         live = self.current_version()
         victims = [v for v in self.versions()[:-keep] if v != live]
         for v in victims:
-            shutil.rmtree(os.path.join(self.table_dir, v), ignore_errors=True)
+            os.remove(self._manifest_path(v))
+        referenced = set()
+        for v in self.versions():
+            for rel in self._manifest(v)["buckets"].values():
+                referenced.add(rel.split("/", 1)[0])
+        for d in os.listdir(self.table_dir):
+            p = os.path.join(self.table_dir, d)
+            if os.path.isdir(p) and d.startswith("v") and d not in referenced:
+                shutil.rmtree(p, ignore_errors=True)
         return victims
 
     # -- write side --------------------------------------------------------
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+
     def merge_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
-        """MERGE: latest event per key wins; deletes drop rows (R8/R9)."""
-        current = self.read()
-        if current is not None:
-            # current rows keep the _scn they were materialized at, so a
-            # replayed/late older event can never overwrite newer state;
-            # they are live rows, hence __deleted=false.
-            base = current.withColumn("__deleted", F.lit(False))
-            merged_src = base.unionByName(unwrapped, allowMissingColumns=True)
-        else:
-            merged_src = unwrapped
-        new_state = compact_latest(merged_src, self.key)
-        vdir = f"v{batch_id:020d}"
-        out = os.path.join(self.table_dir, vdir)
-        new_state.write.mode("overwrite").parquet(out)
-        tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp")
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, os.path.join(self.table_dir, _CURRENT))  # atomic swap
+        """MERGE: latest event per key wins; deletes tombstone rows (R8/R9).
+
+        Only the buckets the batch's keys hash into are read back and
+        rewritten — one partitioned write job regardless of bucket count.
+        """
+        label = f"v{batch_id:020d}"
+        batch = unwrapped.withColumn(_PB, self._bucket_col())
+        touched = sorted(
+            r[0] for r in batch.select(_PB).distinct().collect()
+        )  # ≤ n_buckets scalars on the driver — bounded, not data-sized
+        manifest = self._manifest()
+        buckets = dict(manifest["buckets"]) if manifest else {}
+        src = batch
+        bases = [
+            self.spark.read.parquet(os.path.join(self.table_dir, buckets[str(b)]))
+            .withColumn(_PB, F.lit(b).cast("bigint"))
+            for b in touched
+            if str(b) in buckets
+        ]
+        if bases:
+            base = bases[0]
+            for extra in bases[1:]:
+                base = base.unionByName(extra, allowMissingColumns=True)
+            # stored rows keep the _scn (and tombstones) they were
+            # materialized at, so a replayed/late older event can never
+            # overwrite newer state or resurrect a deleted key.
+            src = base.unionByName(batch, allowMissingColumns=True)
+        new_state = compact_latest(src, self.key, keep_tombstones=True)
+        out = os.path.join(self.table_dir, label)
+        new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
+        for b in touched:
+            buckets[str(b)] = f"{label}/{_PB}={b}"
+        self._commit(label, buckets)
 
     def compact(self, target_partitions: int = 8) -> None:
-        """Major compaction: rewrite the live version sorted by key.
+        """Major compaction: rewrite every bucket key-sorted, drop tombstones.
 
-        Micro-batch MERGEs leave the table fragmented and unordered; the
-        scheduled major compaction re-sorts by PK and bounds file count so
-        point lookups prune via min/max stats and scans stay wide-split
-        (SCALE.md §5). Same atomic pointer swap as a merge — readers never
-        see a half-written version; a concurrent merge that lands after
-        the rewrite simply supersedes it.
+        Micro-batch MERGEs leave buckets fragmented across version dirs and
+        unordered; the scheduled major compaction re-buckets, sorts each
+        bucket by PK, and bounds file count so point lookups prune via
+        bucket hash + per-file min/max stats and scans stay wide-split
+        (SCALE.md §5). Tombstones older than the compaction are dropped
+        here — the end of their retention window. Same atomic pointer swap
+        as a merge — readers never see a half-written version; a concurrent
+        merge that lands after the rewrite simply supersedes it.
         """
-        current = self.read()
+        live = self.current_version()
+        current = self.read()  # tombstones already filtered
         if current is None:
             return
-        vdir = f"{self.current_version()}c"  # e.g. v...042 -> v...042c
-        out = os.path.join(self.table_dir, vdir)
+        label = f"{live}c"  # e.g. v...042 -> v...042c
+        out = os.path.join(self.table_dir, label)
         (
-            current.repartitionByRange(target_partitions, self.key)
-            .sortWithinPartitions(self.key)
-            .write.mode("overwrite")
+            current.withColumn("__deleted", F.lit(False))
+            .withColumn(_PB, self._bucket_col())
+            .repartition(target_partitions, F.col(_PB))
+            .sortWithinPartitions(_PB, self.key)
+            .write.partitionBy(_PB)
+            .mode("overwrite")
             .parquet(out)
         )
-        tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp")
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, os.path.join(self.table_dir, _CURRENT))
+        buckets = {
+            d.split("=", 1)[1]: f"{label}/{d}"
+            for d in os.listdir(out)
+            if d.startswith(f"{_PB}=")
+        }
+        self._commit(label, buckets)
 
     def foreach_batch(self):
         """The function handed to ``writeStream.foreachBatch``."""

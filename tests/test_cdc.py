@@ -180,3 +180,81 @@ def test_out_of_order_batch_cannot_regress_state(spark, tmp_path):
         for r in table.read().select("id", "name", "price").collect()
     }
     assert after_replay == after_full
+
+
+def _mk_lines(events):
+    """Render ad-hoc (scn, txid, rowid, op, before, after) tuples as wire JSON."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import _row_obj
+
+    out = []
+    for scn, txid, rowid, op, before, after in events:
+        out.append(
+            _json.dumps(
+                {
+                    "before": _row_obj(before),
+                    "after": _row_obj(after),
+                    "op": op,
+                    "ts_ms": scn * 1000 + 1_700_000_000_000,
+                    "source": {
+                        "scn": scn,
+                        "txId": txid,
+                        "rowId": rowid,
+                        "schema": "OLR_DB",
+                        "table": "PRODUCT",
+                        "ts_ms": scn * 1000 + 1_700_000_000_000,
+                    },
+                },
+                sort_keys=True,
+            )
+        )
+    return out
+
+
+def test_same_scn_tie_break_is_deterministic(spark):
+    """Two ops on one key committed under the SAME SCN (one Oracle txn):
+    compaction must be deterministic — delete outranks update outranks
+    insert, then rowid breaks remaining ties."""
+    t0 = 1704096000000
+    rowa = (9, "A", None, "1.00", 1, t0, t0)
+    rowb = (9, "B", None, "2.00", 2, t0, t0)
+    # insert + update share scn 500: update must win (op precedence)
+    lines = _mk_lines(
+        [
+            (500, "T9", "AAA0x9", "c", None, rowa),
+            (500, "T9", "AAA0x9", "u", rowa, rowb),
+        ]
+    )
+    for _ in range(2):  # deterministic across runs
+        got = E.compact_latest(E.unwrap(_env(spark, lines))).collect()
+        assert [(r["id"], r["name"]) for r in got] == [(9, "B")]
+
+    # insert + update + delete all at scn 600: delete wins -> key gone
+    lines_d = _mk_lines(
+        [
+            (600, "TA", "AAA0xA", "c", None, rowa),
+            (600, "TA", "AAA0xA", "u", rowa, rowb),
+            (600, "TA", "AAA0xA", "d", rowb, None),
+        ]
+    )
+    assert E.compact_latest(E.unwrap(_env(spark, lines_d))).count() == 0
+
+
+def test_tombstone_blocks_resurrection_across_batches(spark, tmp_path):
+    """An out-of-order OLDER event for a DELETED key arriving in a later
+    micro-batch must not resurrect the row (tombstone retention)."""
+    lines = json_lines()
+    # batch 1: everything through the delete of id=4 at scn 130
+    b1 = [s for s in lines if '"scn": 1' in s or True][:6]  # scn 100..130
+    table = ParquetUpsertTable(spark, str(tmp_path / "tomb"))
+    table.merge_batch(E.unwrap(_env(spark, b1)), batch_id=1)
+    assert 4 not in {r["id"] for r in table.read().collect()}
+
+    # batch 2: ONLY the stale update of id=4 (scn 120 < delete scn 130)
+    stale = [s for s in lines if '"scn": 120' in s]
+    assert stale
+    table.merge_batch(E.unwrap(_env(spark, stale)), batch_id=2)
+    assert 4 not in {r["id"] for r in table.read().collect()}, (
+        "deleted key resurrected by an older replayed event"
+    )

@@ -213,3 +213,63 @@ def test_ann_ml_brp_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ml BRP-LSH recall collapsed: {recall:.3f}"
+
+
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """A NULL value column in the LATEST right row must surface as NULL —
+    not be back-filled from an older right row — and all carried values
+    must come from the SAME right row (the as-of NULL hazard)."""
+    from olr_cdc_oracle_with_dbz_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "by string, lts int")
+    right = spark.createDataFrame(
+        [("k", 1, "old-price", "old-note"), ("k", 5, None, "new-note")],
+        "by string, rts int, price string, note string",
+    )
+    got = asof_join(left, right, "by", "lts", "rts").collect()
+    assert len(got) == 1
+    r = got[0]
+    # latest right row (rts=5) has price NULL: must stay NULL
+    assert r["price"] is None and r["note"] == "new-note"
+
+    # left row earlier than any right row: all carried values NULL
+    left2 = spark.createDataFrame([("k", 0)], "by string, lts int")
+    r2 = asof_join(left2, right, "by", "lts", "rts").collect()[0]
+    assert r2["price"] is None and r2["note"] is None
+
+
+def test_trigram_jaccard_short_docs_cross_engine(spark, tmp_path):
+    """Docs with < 3 tokens emit zero shingles in BOTH engines (the
+    concat_ws-vs-|| NULL divergence found in review)."""
+    import duckdb
+    import pandas as pd
+
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "lang": ["en"] * 5,
+            "text": [
+                "one",                      # 1 token -> no shingles
+                "two words",                # 2 tokens -> no shingles
+                "alpha beta gamma delta",   # shares trigrams with 4
+                "alpha beta gamma delta",   # exact dup of 3
+                "zeta eta theta iota",
+            ],
+        }
+    )
+    sf = tmp_path / "shortdocs"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+    spec = load_all()["l2b_ngram_jaccard"]
+    got = spec.spark_fn(spark, str(sf)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(spec.oracle).df()
+    con.close()
+    assert len(got) == len(want) == 1  # only the (3,4) exact-dup pair
+    assert (got.doc_a.iloc[0], got.doc_b.iloc[0]) == (3, 4)
+    assert got.jaccard.iloc[0] == want.jaccard.iloc[0] == 1.0

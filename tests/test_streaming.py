@@ -344,18 +344,22 @@ def test_major_compaction_preserves_state_and_sorts(spark, tmp_path):
     assert table.current_version().endswith("c")
     assert _final_ids(table) == before  # content unchanged
 
-    # compacted layout: per-file min/max ranges must not overlap (sorted)
+    # compacted layout: within each bucket dir, per-file key ranges must
+    # not overlap (sorted) — bucket hash + min/max stats prune point lookups
     import pyarrow.parquet as pq
     import glob, os as _os
     vdir = _os.path.join(table.table_dir, table.current_version())
-    ranges = []
-    for f in sorted(glob.glob(f"{vdir}/part-*.parquet")):
-        md = pq.ParquetFile(f).metadata
-        ids = [ (md.row_group(i).column(0).statistics.min, md.row_group(i).column(0).statistics.max) for i in range(md.num_row_groups) ]
-        if ids:
-            ranges.append((min(l for l,_ in ids), max(h for _,h in ids)))
-    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
-        assert h1 <= l2 or h2 <= l1  # disjoint key ranges across files
+    bucket_dirs = sorted(glob.glob(f"{vdir}/pb=*"))
+    assert bucket_dirs, "compaction must write bucketed subdirs"
+    for bdir in bucket_dirs:
+        ranges = []
+        for f in sorted(glob.glob(f"{bdir}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ids = [ (md.row_group(i).column(0).statistics.min, md.row_group(i).column(0).statistics.max) for i in range(md.num_row_groups) ]
+            if ids:
+                ranges.append((min(l for l,_ in ids), max(h for _,h in ids)))
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 <= l2 or h2 <= l1  # disjoint key ranges across files
 
     # stream continues after compaction
     _write_events(src, lines[6:], "b1.jsonl")
