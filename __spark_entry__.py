@@ -37,7 +37,13 @@ def _pin_confs(spark: SparkSession) -> None:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Only oracle-backed specs are exposed to the driver: every APPROX
+    operator has a paired bounded-quality query (recall/ε gates — the
+    raw approx outputs stay registered for bench + pytest), so an
+    oracle-less entry here would only produce an uncheckable err row.
+    """
 
     def bind(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = spec.doc
         return run
 
-    return {name: bind(spec) for name, spec in _registry().items()}
+    return {
+        name: bind(spec)
+        for name, spec in _registry().items()
+        if spec.oracle is not None
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -59,8 +59,8 @@ _COLS = ("id", "name", "description", "price", "stock", "created_date", "updated
 EXPECTED_FINAL = [ROW1, ROW2C, ROW3B, ROW4C]
 
 
-def _row_obj(row: tuple | None) -> dict | None:
-    return None if row is None else dict(zip(_COLS, row))
+def _row_obj(row: tuple | None, cols: tuple[str, ...] = _COLS) -> dict | None:
+    return None if row is None else dict(zip(cols, row))
 
 
 def json_lines() -> list[str]:
@@ -125,5 +125,81 @@ def duckdb_values(name: str = "cdc_events") -> str:
         "scn, txid, rowid, op, "
         "b_id, b_name, b_description, b_price, b_stock, b_created, b_updated, "
         "a_id, a_name, a_description, a_price, a_stock, a_created, a_updated"
+    )
+    return f"{name}({cols}) AS (SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n))"
+
+
+# --- R10/R16 additive evolution: schema v2 APPENDS a ``category`` column ---
+# (auto.evolve contract: old events re-parse under v2 with NULL category;
+# the sink table evolves additively — /root/reference/README.md:843
+# ``auto.evolve: true``.)
+
+_COLS_V2 = _COLS + ("category",)
+
+ROW1B = (1, "Widget", "Basic widget", "21.99", 95, _T0, _T0 + 14400_000, "tools")
+ROW5 = (5, "Gizmo", "Post-evolution insert", "49.99", 20, _T0 + 14400_000, _T0 + 14400_000, "gadgets")
+
+#: Events committed AFTER the DDL that added ``category`` (schema v2).
+EVENTS_V2: list[dict] = [
+    dict(scn=170, txid="T7", rowid="AAA0x1", op="u", before=ROW1 + (None,), after=ROW1B),
+    dict(scn=171, txid="T8", rowid="AAA0x6", op="c", before=None, after=ROW5),
+]
+
+ENVELOPE_SCHEMA_V2 = """
+    before struct<id:bigint, name:string, description:string, price:string,
+                  stock:int, created_date:bigint, updated_date:bigint,
+                  category:string>,
+    after  struct<id:bigint, name:string, description:string, price:string,
+                  stock:int, created_date:bigint, updated_date:bigint,
+                  category:string>,
+    op string,
+    ts_ms bigint,
+    source struct<scn:bigint, txId:string, rowId:string,
+                  schema:string, table:string, ts_ms:bigint>
+"""
+
+
+def json_lines_v2() -> list[str]:
+    """The FULL evolved history: v1 wire events (no category key) followed
+    by v2 wire events (category present) — what a topic actually holds
+    after an additive DDL mid-stream."""
+    out = list(json_lines())
+    for e in EVENTS_V2:
+        out.append(
+            json.dumps(
+                {
+                    "before": _row_obj(e["before"], _COLS_V2),
+                    "after": _row_obj(e["after"], _COLS_V2),
+                    "op": e["op"],
+                    "ts_ms": e["scn"] * 1000 + 1_700_000_000_000,
+                    "source": {
+                        "scn": e["scn"],
+                        "txId": e["txid"],
+                        "rowId": e["rowid"],
+                        "schema": "OLR_DB",
+                        "table": "PRODUCT",
+                        "ts_ms": e["scn"] * 1000 + 1_700_000_000_000,
+                    },
+                },
+                sort_keys=True,
+            )
+        )
+    return out
+
+
+def duckdb_values_v2(name: str = "cdc_events_v2") -> str:
+    """Flattened evolved history for oracle SQL (v1 rows: category NULL)."""
+    rows = []
+    for e in EVENTS + EVENTS_V2:
+        b = e["before"] or (None,) * 8
+        a = e["after"] or (None,) * 8
+        b = tuple(b) + (None,) * (8 - len(b))
+        a = tuple(a) + (None,) * (8 - len(a))
+        vals = [e["scn"], e["txid"], e["rowid"], e["op"], *b, *a]
+        rows.append("(" + ", ".join(_sql_lit(v) for v in vals) + ")")
+    cols = (
+        "scn, txid, rowid, op, "
+        "b_id, b_name, b_description, b_price, b_stock, b_created, b_updated, b_category, "
+        "a_id, a_name, a_description, a_price, a_stock, a_created, a_updated, a_category"
     )
     return f"{name}({cols}) AS (SELECT * FROM (VALUES\n  " + ",\n  ".join(rows) + "\n))"

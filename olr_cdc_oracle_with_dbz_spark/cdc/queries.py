@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
+from olr_cdc_oracle_with_dbz_spark.cdc import fixtures
 from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import duckdb_values, json_lines
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
@@ -184,3 +185,65 @@ def q54_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+_V2 = fixtures.duckdb_values_v2()
+
+
+@register(
+    "q50b_envelope_evolved",
+    oracle=f"""
+    WITH {_V2},
+    unwrapped AS (
+      SELECT scn,
+             CASE WHEN op = 'd' THEN b_id ELSE a_id END AS id,
+             CASE WHEN op = 'd' THEN b_name ELSE a_name END AS name,
+             CAST(CAST(CASE WHEN op = 'd' THEN b_price ELSE a_price END AS DECIMAL(10,2)) AS DOUBLE) AS price,
+             CASE WHEN op = 'd' THEN b_stock ELSE a_stock END AS stock,
+             coalesce(CASE WHEN op = 'd' THEN b_category ELSE a_category END, '(none)') AS category,
+             (op = 'd') AS __deleted
+      FROM cdc_events_v2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+      FROM unwrapped
+    )
+    SELECT id, name, price, stock, category
+    FROM ranked WHERE rn = 1 AND NOT __deleted
+    ORDER BY id
+    """,
+    tags=("cdc",),
+)
+def q50b_envelope_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10/R16: additive schema evolution mid-stream.
+
+    The registry pins decode versions the way the reference's Schema
+    Registry does (/root/reference/docker-compose-main.yml:97-119): v1 DDL
+    is registered, the additive v2 DDL (appended ``category``) registers as
+    version 2, and the FULL history — v1 wire events without the key plus
+    v2 events with it — re-parses under the CURRENT schema. Old events
+    surface NULL category (auto.evolve, README.md:843); compaction yields
+    the evolved final state.
+    """
+    import tempfile
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
+
+    with tempfile.TemporaryDirectory() as root:
+        reg = SchemaRegistry(root, "olr_db.product")
+        v1 = reg.register(fixtures.ENVELOPE_SCHEMA)
+        v2 = reg.register(fixtures.ENVELOPE_SCHEMA_V2)
+        assert reg.is_additive(v1, v2), "category append must be auto.evolve-safe"
+        ddl = reg.current()
+    rdd = spark.sparkContext.parallelize([(s,) for s in fixtures.json_lines_v2()], 1)
+    raw = spark.createDataFrame(rdd, "value string")
+    env = E.source_filter(E.parse_envelope(raw, schema=ddl))
+    flat = E.unwrap(env, extra_cols=("category",))
+    final = E.compact_latest(flat)
+    return final.select(
+        "id",
+        "name",
+        F.col("price").cast("double").alias("price"),
+        "stock",
+        F.coalesce(F.col("category"), F.lit("(none)")).alias("category"),
+    ).orderBy("id")

@@ -256,6 +256,9 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
 
 
+_L2D_BLOCKS = 8
+
+
 @register(
     "l2d_embedding_neardup",
     oracle=f"""
@@ -275,62 +278,87 @@ _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2d (EXACT): embedding-cosine near-duplicate pairs (cosine ≥ τ).
 
-    Two stages, both distributed:
+    Block-matrix self-join — fully distributed, nothing touches the driver:
+    the corpus splits into B hash blocks; every unordered block pair (i ≤ j)
+    is one ``applyInPandas`` group holding just those two blocks' vectors.
+    Each group runs one BLAS GEMM for candidates above τ−ε, then re-scores
+    the survivors with the strict left-fold dot product (k-ascending
+    accumulation — bit-identical to the oracle's ``list_dot_product``, for
+    value AND norm), so the τ boundary and the 6-dp rounding are
+    engine-exact. A pair lands in exactly one group → no cross-group dedup.
 
-    1. **Candidate generation** — one BLAS GEMM per Arrow batch of rows
-       against the broadcast corpus matrix, keeping pairs above τ−ε. (A
-       naive broadcast-nested-loop `a × b ON cosine ≥ τ` evaluates an
-       interpreted 64-term fold per pair — measured 40× slower.)
-    2. **Exact verify** — the surviving ~0.002% of pairs get the exact
-       left-fold cosine (bit-identical to the oracle's fold), which makes
-       the τ boundary and the rounded value engine-exact.
-
-    At 100 TB the corpus matrix shards by vec_id range (IVF/LSH gating,
-    see SCALE.md §6); the per-shard kernel is exactly this GEMM.
+    100 TB shape: shuffle volume is B× the corpus (each block joins B
+    partners), memory per task is 2 blocks — B tunes the classic
+    replication-vs-task-memory trade; LSH/IVF gating (l2, l4c) cuts the
+    quadratic work before this exact kernel when τ is high.
     """
     import numpy as np
     import pandas as pd
 
-    from olr_cdc_oracle_with_dbz_spark.llmops.similarity import _dot, with_norm
-
-    emb = with_norm(Catalog(spark, sf_dir).embeddings)
-    corpus = emb.select("vec_id", "vec").toPandas()
-    c_ids = np.asarray(corpus["vec_id"], dtype=np.int64)
-    c_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in corpus["vec"]])
-    c_nrm = np.linalg.norm(c_mat, axis=1)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
-
-    def candidates(batches):
-        ids, mat, nrm = bc.value
-        for pdf in batches:
-            q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-            sims = (q_mat @ mat.T) / np.outer(np.linalg.norm(q_mat, axis=1), nrm)
-            out_a, out_b = [], []
-            for r, qid in enumerate(q_ids):
-                # ε guards GEMM-vs-fold summation-order drift at the boundary
-                js = np.nonzero((sims[r] >= _COS_TAU - 1e-9) & (ids > qid))[0]
-                out_a.extend(int(qid) for _ in js)
-                out_b.extend(int(i) for i in ids[js])
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
-
-    cand = (
-        emb.repartition(16)
-        .select("vec_id", "vec")
-        .mapInPandas(candidates, "vec_a bigint, vec_b bigint")
+    emb = Catalog(spark, sf_dir).embeddings
+    B = _L2D_BLOCKS
+    rep = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+        .withColumn("_other", F.explode(F.array(*[F.lit(o) for o in range(B)])))
+        .select(
+            F.least("_blk", "_other").alias("pi"),
+            F.greatest("_blk", "_other").alias("pj"),
+            "_blk",
+            "vec_id",
+            "embedding",
+        )
+        .dropDuplicates(["pi", "pj", "vec_id"])
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def _fold_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        """Left-fold dot across axis 1 (k-ascending — the oracle's order)."""
+        acc = np.zeros(len(a), dtype=np.float64)
+        for k in range(a.shape[1]):
+            acc = acc + a[:, k] * b[:, k]
+        return acc
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        blk = np.asarray(pdf["_blk"], dtype=np.int64)
+        la, lb = (blk == pi), (blk == pj)
+        ia, ma = ids[la], mat[la]
+        ib, mb = ids[lb], mat[lb]
+        if not len(ia) or not len(ib):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        sims = (ma @ mb.T) / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1))
+        # ε guards GEMM-vs-fold summation-order drift at the boundary.
+        # Diagonal groups (pi == pj) hold each unordered pair twice → keep
+        # the id-ascending orientation; off-diagonal groups hold it once in
+        # an arbitrary orientation → keep id != id and canonicalize below.
+        if pi == pj:
+            want = ia[:, None] < ib[None, :]
+        else:
+            want = ia[:, None] != ib[None, :]
+        r, c = np.nonzero((sims >= _COS_TAU - 1e-9) & want)
+        if not len(r):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        # exact re-score: strict left-fold for dot AND both norms
+        va, vb = ma[r], mb[c]
+        cos = _fold_dot(va, vb) / (
+            np.sqrt(_fold_dot(va, va)) * np.sqrt(_fold_dot(vb, vb))
+        )
+        keep = cos >= _COS_TAU
+        lo = np.minimum(ia[r][keep], ib[c][keep])
+        hi = np.maximum(ia[r][keep], ib[c][keep])
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(cos[keep], 6)}
+        )
+
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
-        .filter(cos >= _COS_TAU)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        rep.groupBy("pi", "pj")
+        .applyInPandas(block_pair, "vec_a bigint, vec_b bigint, cosine double")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -572,4 +600,48 @@ def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable recall gates for the APPROX dedup paths (q29b pattern:
+# the checked output is the quality bound; the oracle computes the exact
+# high-similarity pair count and asserts the bound true).
+# ---------------------------------------------------------------------------
+
+_HI_J = 0.7  # banding config (8 bands × 4 rows, est ≥ 0.5 cut) must recall these
+
+_L2V_ORACLE = f"""
+    SELECT COUNT(*) AS n_exact_hi, TRUE AS recall_ok
+    FROM ({_L2B_ORACLE}) WHERE jaccard >= {_HI_J}
+"""
+
+
+def _pair_recall_summary(
+    approx: DataFrame, exact_hi: DataFrame, floor: float
+) -> DataFrame:
+    e = exact_hi.select("doc_a", "doc_b")
+    a = approx.select("doc_a", "doc_b")
+    hit = e.join(a, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    tot = e.agg(F.count(F.lit(1)).alias("n_exact_hi"))
+    return tot.crossJoin(hit).select(
+        "n_exact_hi",
+        (F.col("n_hit") >= F.lit(floor) * F.col("n_exact_hi")).alias("recall_ok"),
+    )
+
+
+@register("l2v_minhash_recall", oracle=_L2V_ORACLE, bench=False, tags=("llm", "dedup"))
+def l2v_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding must recall ≥ 0.8 of exact Jaccard ≥ 0.7 pairs
+    (measured 1.0 at sf0.001/sf0.01; deterministic hashes)."""
+    return _pair_recall_summary(
+        l2_minhash_lsh(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), 0.8
+    )
+
+
+@register("l2fv_minhash_ml_recall", oracle=_L2V_ORACLE, bench=False, tags=("llm", "dedup"))
+def l2fv_minhash_ml_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml MinHashLSH must recall ≥ 0.8 of exact Jaccard ≥ 0.7 pairs."""
+    return _pair_recall_summary(
+        l2f_minhash_ml(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), 0.8
     )

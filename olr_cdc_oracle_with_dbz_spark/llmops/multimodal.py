@@ -129,20 +129,40 @@ def extract_features(
     return flat.mapInPandas(run, "doc_id bigint, features array<double>")
 
 
-@register("m2_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "m2_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) AS f_len,
+           TRUE AS dim_ok,
+           TRUE AS stats_ok
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
 def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the decode seam (deterministic fake codec).
 
     Proves the distributed plumbing: binary column → Arrow batch →
-    per-asset decode → fixed-width vector, partition-parallel.
+    per-asset decode → fixed-width vector, partition-parallel. Checked
+    output: the SQL-reachable feature (payload length) exactly, plus
+    internal-consistency bounds on the rest of the vector (q29b pattern —
+    fixed width, byte-stat ordering min ≤ mean ≤ max, bounded mod-sum),
+    so the driver hash covers the seam without a byte-level SQL decoder.
     """
     assets = attach_binary_asset(Catalog(spark, sf_dir).documents)
     feats = extract_features(assets)
+    f = F.col("features")
     return feats.select(
         "doc_id",
-        F.round(F.element_at("features", 1), 6).alias("f_len"),
-        F.round(F.element_at("features", 2), 6).alias("f_sum"),
-        F.round(F.element_at("features", 3), 6).alias("f_mean"),
+        F.round(F.element_at(f, 1), 6).alias("f_len"),
+        (F.size(f) == _FEATURE_DIM).alias("dim_ok"),
+        (
+            (F.element_at(f, 4) <= F.element_at(f, 3))
+            & (F.element_at(f, 3) <= F.element_at(f, 5))
+            & (F.element_at(f, 2) >= 0)
+            & (F.element_at(f, 2) < 997)
+        ).alias("stats_ok"),
     ).orderBy("doc_id")
 
 
