@@ -111,12 +111,29 @@ def main() -> None:
     except Exception as ex:  # throughput section must not kill the bench
         print(f"# cdc bench error: {ex}", file=sys.stderr)
 
+    # Driver contract: print ONE parseable JSON line. The driver keeps only
+    # a bounded stdout tail, so the line is kept minimal (3-dp timings,
+    # compact separators, no sub-dicts); the full detail record (cdc
+    # throughput, ingest, optional baseline) goes to BENCH_DETAILS.json.
+    #
+    # value = the EXACT-class oracle-checked total — the set BASELINE.md
+    # defines the ≤2× bar over (APPROX-class queries have no DuckDB
+    # counterpart by construction; they are timed and reported under
+    # approx_sec so the number is visible, just not conflated with the bar).
+    exact = {
+        n: v for n, v in timings.items() if registry[n].oracle and not registry[n].approx
+    }
+    approx_sec = round(sum(v for n, v in timings.items() if n not in exact and v > 0), 3)
     result = {
         "metric": "total_sec",
-        "value": round(sum(v for v in timings.values() if v > 0), 4),
+        "value": round(sum(v for v in exact.values() if v > 0), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(v, 3) for n, v in timings.items()},
         "sf": sf,
+        "approx_sec": approx_sec,
+    }
+    details = {
+        **result,
         "ingest_sec": ingest_sec,
         "cdc_ingest": cdc_stats,
     }
@@ -139,10 +156,13 @@ def main() -> None:
             except Exception as ex:
                 base[name] = -1.0
                 print(f"# baseline error {name}: {ex}", file=sys.stderr)
-        result["baseline"] = base
-        result["baseline_total"] = round(sum(v for v in base.values() if v > 0), 4)
+        details["baseline"] = base
+        details["baseline_total"] = round(sum(v for v in base.values() if v > 0), 4)
 
-    print(json.dumps(result))
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(out_dir, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

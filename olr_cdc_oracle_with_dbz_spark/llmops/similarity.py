@@ -151,7 +151,7 @@ def lsh_buckets(
     )
 
 
-@register("l4_ann_lsh", oracle=None, tags=("llm", "similarity"))
+@register("l4_ann_lsh", oracle=None, approx=True, tags=("llm", "similarity"))
 def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 (APPROX): multi-table sign-LSH ANN with exact rerank in buckets.
 
@@ -193,7 +193,7 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
-@register("l4c_ann_ivf", oracle=None, tags=("llm", "similarity"))
+@register("l4c_ann_ivf", oracle=None, approx=True, tags=("llm", "similarity"))
 def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4c (APPROX): IVF-flat ANN — coarse quantize, probe, exact rerank.
 
@@ -313,7 +313,7 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l4d_ann_ml_brp", oracle=None, bench=False, tags=("llm", "similarity"))
+@register("l4d_ann_ml_brp", oracle=None, bench=False, approx=True, tags=("llm", "similarity"))
 def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4d (APPROX): spark.ml BucketedRandomProjectionLSH ANN.
 

@@ -342,6 +342,7 @@ def q29_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, TRUE AS cust_within_eps, TRUE AS median_within_eps
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    approx=True,  # quality gate: times the approx+exact pair, not a workload
 )
 def q29b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX: HLL count-distinct + approx percentile, ε-bounded vs exact.

@@ -46,7 +46,8 @@ class QuerySpec:
     spark_fn: QueryFn
     oracle: str | None = None  # DuckDB-runnable ANSI SQL, or None (rows-only check)
     doc: str = ""
-    bench: bool = True  # include in bench.py headline set
+    bench: bool = True  # include in bench.py timed set
+    approx: bool = False  # APPROX-class (BASELINE.md's bar covers EXACT only)
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
@@ -57,6 +58,7 @@ def register(
     name: str,
     oracle: str | None = None,
     bench: bool = True,
+    approx: bool = False,
     tags: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -68,6 +70,7 @@ def register(
             oracle=oracle,
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
+            approx=approx,
             tags=tags,
         )
         return fn
