@@ -115,3 +115,38 @@ def test_funnel_and_retention_single_user_shuffle(spark, sf_dir, reg):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning(user_id") <= 2, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_signatures_zero_shuffle(spark, sf_dir):
+    """MinHash signatures are a pure per-row expression chain (in-row
+    shingle array + array_min per permutation) — the plan must contain NO
+    exchange at all: signatures cost exactly one scan at any corpus size."""
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import minhash_signatures
+
+    docs = Catalog(spark, sf_dir).documents
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # xxhash64 stays JVM-side
+
+
+def test_l2d_block_pairs_distributed_no_cartesian(spark, sf_dir, reg):
+    """l2d exact cosine near-dup: block-matrix self-join must be a grouped
+    applyInPandas over (pi, pj) block pairs — never a cartesian product and
+    never a corpus-sized broadcast. This is the shape that replaced the
+    round-1 driver-side toPandas() materialization."""
+    plan = _plan(reg["l2d_embedding_neardup"].spark_fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan  # corpus must not be broadcast
+
+
+def test_l4b_corpus_never_broadcast_or_shuffled_wide(spark, sf_dir, reg):
+    """l4b brute-force top-k: the corpus side streams through mapInPandas
+    with only the bounded query matrix broadcast (sc.broadcast, not a plan
+    BroadcastExchange); the only exchanges are the corpus repartition and
+    the |queries|·k top-k merge."""
+    plan = _plan(reg["l4b_bruteforce_matmul"].spark_fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan

@@ -558,3 +558,38 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
         (s, n) for (s, n) in batch if s + _dt.timedelta(hours=1) <= wm
     }
     assert emitted == expect and len(expect) > 0
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Delta-file-granularity contract: a micro-batch MERGE must rewrite
+    ONLY the buckets its keys hash into; every untouched bucket's manifest
+    entry must still point at the previous version's path (O(batch), not
+    O(table), per batch — the property that makes the sink viable at
+    100 TB)."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=4)
+
+    def unwrapped(rows):
+        return spark.createDataFrame(
+            [(i, f"n{i}", scn, "c", f"tx{scn}", f"r{scn}", False) for i, scn in rows],
+            "id bigint, name string, _scn bigint, op string, _txid string, "
+            "_rowid string, __deleted boolean",
+        )
+
+    # batch 1: keys spanning several buckets
+    table.merge_batch(unwrapped([(i, 100 + i) for i in range(12)]), batch_id=1)
+    m1 = table._manifest()
+    assert len(m1["buckets"]) >= 3  # 12 keys over 4 buckets: ≥3 populated
+
+    # batch 2: a single key → exactly one bucket may move
+    table.merge_batch(unwrapped([(0, 200)]), batch_id=2)
+    m2 = table._manifest()
+    moved = [b for b in m1["buckets"] if m2["buckets"][b] != m1["buckets"][b]]
+    assert len(moved) == 1, f"one bucket touched, {len(moved)} rewritten"
+    assert all(
+        m2["buckets"][b] == m1["buckets"][b] for b in m1["buckets"] if b not in moved
+    )
+    # and the rewritten bucket's data is correct: key 0 updated, others kept
+    got = {r["id"]: r["name"] for r in table.read().collect()}
+    assert got[0] == "n0" and len(got) == 12
