@@ -20,22 +20,30 @@ from olr_cdc_oracle_with_dbz_spark.registry import register
 _V = duckdb_values()
 
 
-_RAW_CACHE: dict[int, DataFrame] = {}
+_RAW_CACHE: dict[tuple[int, tuple[str, ...]], DataFrame] = {}
+
+
+def _lit_lines(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """JSON strings → one-column DataFrame as PLAN-EMBEDDED literals.
+
+    ``createDataFrame``/``parallelize`` back the frame with a Python RDD, so
+    every execution pays a Python-worker scan stage (~0.2 s) just to re-read
+    12 immutable strings. ``explode(array(lit(...)))`` embeds the rows in
+    the logical plan instead: execution is a single JVM LocalTableScan-style
+    generate — no Python process, no extra stage, one partition. Memoized
+    per (session, fixture) since the plan fragment itself is immutable.
+    """
+    key = (id(spark), tuple(lines))
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = spark.range(1).select(
+            F.explode(F.array(*[F.lit(s) for s in lines])).alias("value")
+        )
+    return _RAW_CACHE[key]
 
 
 def _raw_events(spark: SparkSession) -> DataFrame:
-    """The fixture history as a one-column DataFrame of JSON strings.
-
-    One slice: ``createDataFrame`` would otherwise parallelize 12 rows over
-    ``defaultParallelism`` (32) slices — every downstream stage then pays 32
-    near-empty tasks of pure scheduling overhead. Memoized per session: the
-    fixture is immutable, and rebuilding costs a py4j round-trip per query.
-    """
-    key = id(spark)
-    if key not in _RAW_CACHE:
-        rdd = spark.sparkContext.parallelize([(s,) for s in json_lines()], 1)
-        _RAW_CACHE[key] = spark.createDataFrame(rdd, "value string")
-    return _RAW_CACHE[key]
+    """The fixture history as a one-column DataFrame of JSON strings."""
+    return _lit_lines(spark, json_lines())
 
 
 def _parsed(spark: SparkSession) -> DataFrame:
@@ -235,8 +243,7 @@ def q50b_envelope_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2 = reg.register(fixtures.ENVELOPE_SCHEMA_V2)
         assert reg.is_additive(v1, v2), "category append must be auto.evolve-safe"
         ddl = reg.current()
-    rdd = spark.sparkContext.parallelize([(s,) for s in fixtures.json_lines_v2()], 1)
-    raw = spark.createDataFrame(rdd, "value string")
+    raw = _lit_lines(spark, fixtures.json_lines_v2())
     env = E.source_filter(E.parse_envelope(raw, schema=ddl))
     flat = E.unwrap(env, extra_cols=("category",))
     final = E.compact_latest(flat)

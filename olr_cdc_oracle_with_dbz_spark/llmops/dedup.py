@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -115,28 +116,27 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     sig = minhash_signatures(docs)
     rows_per_band = _N_PERM // _N_BANDS
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(b * rows_per_band + r).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    bands = explode_once(
+        sig,
+        ["doc_id", "sig"],
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(_N_BANDS)
+            ]
+        ),
+        "bb",
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -227,7 +227,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    tri = sharr.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    tri = explode_once(sharr, ["doc_id", "lang"], F.col("sh"), "shingle")
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # SHUFFLE_HASH on the inverted-index self-join: the join key (shingle
     # hash) is high-cardinality, so sort-merge wastes two sorts and
@@ -415,7 +415,7 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     few bits (Hamming ball lookup at scale). Single groupBy(doc) shuffle.
     """
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    toks = explode_once(d, ["doc_id"], F.split(F.lower("text"), " "), "tok")
     counted = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

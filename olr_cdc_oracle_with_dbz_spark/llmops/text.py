@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 #: minimal per-language marker-word lists (n-gram-heuristic lang id)
@@ -187,8 +188,8 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle (a per-keyword array rescan — docs × keywords — measured ~10×
     # the cost). ``counted`` is tiny post-aggregation; both consumers hash
     # on its groupBy exchange, so the explode runs once (ReusedExchange).
-    toks = docs.select(
-        "doc_id", F.size("ts").alias("n_toks"), F.explode("ts").alias("kw")
+    toks = explode_once(
+        docs, ["doc_id", F.size("ts").alias("n_toks")], F.col("ts"), "kw"
     ).filter(F.col("kw").isin(list(_KEYWORDS)))
     counted = toks.groupBy("doc_id", "n_toks", "kw").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -329,8 +330,8 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode is map-side — shuffle ∝ distinct (doc, token).
     """
     d = Catalog(spark, sf_dir).documents
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    toks = explode_once(
+        d, ["doc_id"], F.split(F.lower("text"), " "), "tok"
     ).dropDuplicates(["doc_id", "tok"])
     n_docs = d.select("doc_id").distinct().count()
     boiler = (
