@@ -16,6 +16,7 @@ from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
 from olr_cdc_oracle_with_dbz_spark.cdc import fixtures
 from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import duckdb_values, json_lines
 from olr_cdc_oracle_with_dbz_spark.registry import register
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
 _V = duckdb_values()
 
@@ -80,7 +81,7 @@ def q50_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("after.price").cast("decimal(10,2)"), F.lit(-1))
         .cast("double")
         .alias("after_price"),
-    ).orderBy("scn")
+    ).transform(ordered, "scn")
 
 
 @register(
@@ -111,7 +112,7 @@ def q51_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stock",
         "updated_date",
         "__deleted",
-    ).orderBy("scn")
+    ).transform(ordered, "scn")
 
 
 _COMPACT_ORACLE = f"""
@@ -148,7 +149,7 @@ def _final_state(df: DataFrame) -> DataFrame:
         "stock",
         "created_date",
         "updated_date",
-    ).orderBy("id")
+    ).transform(ordered, "id")
 
 
 @register("q52_upsert_compaction", oracle=_COMPACT_ORACLE, tags=("cdc",))
@@ -191,7 +192,7 @@ def q54_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_scn").alias("max_scn"),
             F.countDistinct(F.coalesce(key, F.lit(-1))).alias("n_keys"),
         )
-        .orderBy("op")
+        .transform(ordered, "op")
     )
 
 
@@ -253,4 +254,4 @@ def q50b_envelope_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("price"),
         "stock",
         F.coalesce(F.col("category"), F.lit("(none)")).alias("category"),
-    ).orderBy("id")
+    ).transform(ordered, "id")

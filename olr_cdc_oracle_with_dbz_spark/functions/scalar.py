@@ -49,7 +49,7 @@ def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
         F.instr(F.col("p_name"), "widget").alias("pos_widget"),
-    ).orderBy("p_partkey")
+    ).transform(ordered, "p_partkey")
 
 
 @register(
@@ -160,7 +160,7 @@ def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             6,
         ).alias("head_sum"),
-    ).orderBy("vec_id")
+    ).transform(ordered, "vec_id")
 
 
 @register(
@@ -201,7 +201,7 @@ def q44_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("name").alias("s_name"),
         st.getField("region").alias("s_region"),
         mp.getItem(F.col("n_name")).alias("m_val"),
-    ).orderBy("n_nationkey")
+    ).transform(ordered, "n_nationkey")
 
 
 @register(
@@ -247,7 +247,7 @@ def q45b_from_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed.getField("k").alias("parsed_k"),
             rendered.alias("rendered"),
         )
-        .orderBy("event_id")
+        .transform(ordered, "event_id")
     )
 
 
@@ -273,7 +273,7 @@ def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("p_size"), F.lit(25)).alias("g"),
         F.least(F.col("p_size"), F.lit(25)).alias("l"),
         F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("bigint").alias("h_int"),
-    ).orderBy("p_partkey")
+    ).transform(ordered, "p_partkey")
 
 
 @register(
@@ -310,7 +310,7 @@ def q44b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
         F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
         F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
-    ).orderBy("n_name")
+    ).transform(ordered, "n_name")
 
 
 @register(
@@ -335,7 +335,7 @@ def q44c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retail"),
         )
         .unpivot("p_partkey", ["size", "retail"], "metric", "val")
-        .orderBy("p_partkey", "metric")
+        .transform(ordered, "p_partkey", "metric")
     )
 
 
@@ -382,7 +382,7 @@ def q43c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l1.cast("double"), 6).alias("l1_head"),
         F.size(F.filter(emb, lambda x: x.cast("double") > 0)).alias("n_pos"),
         F.round(zip_dot.cast("double"), 6).alias("zip_dot"),
-    ).orderBy("vec_id")
+    ).transform(ordered, "vec_id")
 
 
 @register(
@@ -413,5 +413,5 @@ def q10b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
         .select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
-        .orderBy("k1", "k2")
+        .transform(ordered, "k1", "k2")
     )

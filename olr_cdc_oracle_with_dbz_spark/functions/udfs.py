@@ -50,7 +50,7 @@ def u1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(net_udf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber")
 
 
 def _net_price_series(price: pd.Series, discount: pd.Series) -> pd.Series:
@@ -118,7 +118,7 @@ def u3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "l_orderkey")
         .groupBy("l_orderkey")
         .applyInPandas(_normalize_group, "l_orderkey bigint, l_linenumber int, qty_dev double")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber")
     )
 
 
@@ -151,7 +151,7 @@ def u4_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", "l_extendedprice", "l_quantity")
         .groupBy("l_returnflag")
         .applyInPandas(_weighted_avg, "l_returnflag string, wavg_price double")
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.registry import register
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
 #: metadata struct carried beside every binary asset column
 ASSET_META_SCHEMA = "mime string, n_bytes long, width int, height int"
@@ -71,7 +72,7 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.ascii(F.decode(F.expr("substring(asset, 1, 1)"), "utf-8")).alias("first_byte"),
         F.md5(F.col("asset")).alias("payload_md5"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +164,7 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.element_at(f, 2) >= 0)
             & (F.element_at(f, 2) < 997)
         ).alias("stats_ok"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 def resize_assets(

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.registry import register
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
 _TOP_K = 5
 _N_QUERIES = 100  # vec_id < 100 are the query vectors
@@ -93,7 +94,7 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        .transform(ordered, "query_id", "rnk")
     )
 
 
@@ -186,7 +187,7 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        .transform(ordered, "query_id", "rnk")
     )
 
 
@@ -257,7 +258,7 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        .transform(ordered, "query_id", "rnk")
     )
 
 
@@ -309,7 +310,7 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        .transform(ordered, "query_id", "rnk")
     )
 
 
@@ -357,7 +358,7 @@ def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        .transform(ordered, "query_id", "rnk")
     )
 
 

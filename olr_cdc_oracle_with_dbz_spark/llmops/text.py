@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
 #: minimal per-language marker-word lists (n-gram-heuristic lang id)
 _LANG_MARKERS = {
@@ -68,7 +69,7 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ts)).alias("n_distinct"),
         F.round(F.col("n_chars").cast("double") / F.size(ts), 6).alias("chars_per_token"),
         F.round(n_stop.cast("double") / F.size(ts), 6).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -116,7 +117,7 @@ def l5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -145,7 +146,7 @@ def l5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.size(F.array_distinct(ts)).cast("double") / n * 2, F.lit(1.0)) * 0.3
         + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
     )
-    return d.select("doc_id", F.round(quality, 6).alias("quality")).orderBy("doc_id")
+    return d.select("doc_id", F.round(quality, 6).alias("quality")).transform(ordered, "doc_id")
 
 
 _KEYWORDS = ("spark", "join", "merge", "window", "hash")
@@ -183,7 +184,9 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     ts = F.split(F.lower("text"), " ")
     docs = d.select("doc_id", ts.alias("ts"))
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row frame, not a driver .count(): no
+    # extra job / driver sync barrier per query — the scalar rides the plan
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     # One explode pass over tokens, filtered to the keyword set BEFORE any
     # shuffle (a per-keyword array rescan — docs × keywords — measured ~10×
     # the cost). ``counted`` is tiny post-aggregation; both consumers hash
@@ -197,16 +200,19 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = counted.groupBy("kw").agg(F.count(F.lit(1)).alias("df"))
     return (
         counted.join(F.broadcast(df_counts), "kw")
+        .crossJoin(n_docs)
         .select(
             "doc_id",
             "kw",
             F.round(
                 (F.col("cnt").cast("double") / F.col("n_toks"))
-                * F.log(F.lit(float(n_docs)) / F.greatest(F.col("df"), F.lit(1))),
+                * F.log(
+                    F.col("n_docs").cast("double") / F.greatest(F.col("df"), F.lit(1))
+                ),
                 8,
             ).alias("tfidf"),
         )
-        .orderBy("doc_id", "kw")
+        .transform(ordered, "doc_id", "kw")
     )
 
 
@@ -243,7 +249,7 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return d.select("doc_id", fp.alias("fingerprint")).transform(ordered, "doc_id")
 
 
 #: PII patterns in the Java-regex ∩ RE2 dialect intersection
@@ -296,7 +302,7 @@ def l5d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(t1, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(F.regexp_replace(t1, _PHONE_RE, "<PHONE>")).alias("clean_md5"),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -333,11 +339,13 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = explode_once(
         d, ["doc_id"], F.split(F.lower("text"), " "), "tok"
     ).dropDuplicates(["doc_id", "tok"])
-    n_docs = d.select("doc_id").distinct().count()
+    # corpus size as a broadcast scalar frame (no driver .count() job)
+    n_docs = F.broadcast(d.agg(F.count_distinct("doc_id").alias("n_docs")))
     boiler = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 0.5 * n_docs)
+        .crossJoin(n_docs)
+        .filter(F.col("d") >= 0.5 * F.col("n_docs"))
         .select("tok", F.lit(True).alias("is_boiler"))
     )
     per_doc = (
@@ -355,7 +363,7 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_boiler").cast("double") / F.col("n_distinct_toks"), 6).alias(
             "boiler_ratio"
         ),
-    ).orderBy("doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @register(
@@ -419,5 +427,5 @@ def l8_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.join(keep, "doc_id")
         .select("doc_id", F.round("quality", 6).alias("quality"), clean.alias("clean_md5"))
-        .orderBy("doc_id")
+        .transform(ordered, "doc_id")
     )

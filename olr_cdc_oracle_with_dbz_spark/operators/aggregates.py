@@ -20,6 +20,7 @@ from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
     avg6,
     dsum,
+    ordered,
     render,
     sql_avg6,
     sql_sum6,
@@ -71,7 +72,7 @@ def q22_hash_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg6("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(ordered, "l_returnflag", "l_linestatus")
     )
 
 
@@ -95,7 +96,7 @@ def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_part"),
             F.countDistinct("l_orderkey").alias("n_order"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 
@@ -157,7 +158,7 @@ def q25_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_prio",
             "n_orders",
         )
-        .orderBy("nat", "prio", "g_nat", "g_prio")
+        .transform(ordered, "nat", "prio", "g_nat", "g_prio")
     )
 
 
@@ -191,7 +192,7 @@ def q25b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_ls",
             "n",
         )
-        .orderBy("rf", "ls", "g_rf", "g_ls")
+        .transform(ordered, "rf", "ls", "g_rf", "g_ls")
     )
 
 
@@ -243,7 +244,7 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 150)
         .select("l_orderkey", render(F.col("_sq")).alias("sum_qty"))
-        .orderBy("l_orderkey")
+        .transform(ordered, "l_orderkey")
     )
 
 
@@ -294,7 +295,7 @@ def q27_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
             6,
         ).alias("corr_pq"),
-    ).orderBy("l_returnflag")
+    ).transform(ordered, "l_returnflag")
 
 
 @register(
@@ -315,7 +316,7 @@ def q28_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
             F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
         )
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -332,7 +333,7 @@ def q29_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("exact_cust"))
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -373,7 +374,7 @@ def q29b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.02 * F.abs(F.col("exact_median"))
             ).alias("median_within_eps"),
         )
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -399,5 +400,5 @@ def q30_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
             ).alias("disc_revenue"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )

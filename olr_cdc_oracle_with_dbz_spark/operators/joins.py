@@ -63,7 +63,7 @@ def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey")
         )
         .select("n_nationkey", "n_name", "r_name")
-        .orderBy("n_nationkey")
+        .transform(ordered, "n_nationkey")
     )
 
 
@@ -128,7 +128,7 @@ def q15b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_custkey"), F.lit(-1)).alias("bk"),
             F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("rk"),
         )
-        .orderBy("bk", "rk")
+        .transform(ordered, "bk", "rk")
     )
 
 
@@ -148,7 +148,7 @@ def q16_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .transform(ordered, "c_custkey")
     )
 
 
@@ -168,7 +168,7 @@ def q17_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
         )
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .transform(ordered, "c_custkey")
     )
 
 
@@ -222,7 +222,7 @@ def q19_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.region.crossJoin(cat.nation)
         .select("r_name", "n_name")
-        .orderBy("r_name", "n_name")
+        .transform(ordered, "r_name", "n_name")
     )
 
 
@@ -262,7 +262,7 @@ def q20_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(sum6(rev).alias("revenue"))
-        .orderBy("n_name")
+        .transform(ordered, "n_name")
     )
 
 
@@ -293,7 +293,7 @@ def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
-        .orderBy("user_id")
+        .transform(ordered, "user_id")
     )
 
 

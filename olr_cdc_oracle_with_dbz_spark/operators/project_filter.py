@@ -130,7 +130,7 @@ def q09_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             F.col("p_name").rlike("^(b|c)").alias("starts_bc"),
         )
-        .orderBy("p_partkey")
+        .transform(ordered, "p_partkey")
     )
 
 
@@ -153,7 +153,7 @@ def q10_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nulled, F.lit("(none)")).alias("seg"),
         nulled.isNull().alias("was_nulled"),
         ((F.col("c_acctbal") > 0) & nulled.isNotNull()).alias("flag3vl"),
-    ).orderBy("c_custkey")
+    ).transform(ordered, "c_custkey")
 
 
 @register(
@@ -176,7 +176,7 @@ def q11_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_retailprice") < 912, "mid")
         .otherwise("high")
         .alias("band"),
-    ).orderBy("p_partkey")
+    ).transform(ordered, "p_partkey")
 
 
 @register(
@@ -215,4 +215,4 @@ def q12_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.cast("double").alias("price_dbl"),
         dec.cast("string").alias("price_s"),
         F.concat(F.col("p_size").cast("string"), F.lit(".5")).cast("double").alias("str_to_d"),
-    ).orderBy("p_partkey")
+    ).transform(ordered, "p_partkey")

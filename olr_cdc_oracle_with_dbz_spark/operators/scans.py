@@ -34,7 +34,7 @@ def scratch_dir(name: str) -> str:
 )
 def q01_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-projection parquet scan."""
-    return Catalog(spark, sf_dir).region.orderBy("r_regionkey")
+    return Catalog(spark, sf_dir).region.transform(ordered, "r_regionkey")
 
 
 @register(
@@ -72,7 +72,7 @@ def q03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(schema)
         .option("header", True)
         .csv(out)
-        .orderBy("n_nationkey")
+        .transform(ordered, "n_nationkey")
     )
 
 
@@ -92,7 +92,7 @@ def q03b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).json(out)
     schema = "n_nationkey int, n_name string, n_regionkey int"
-    return spark.read.schema(schema).json(out).orderBy("n_nationkey")
+    return spark.read.schema(schema).json(out).transform(ordered, "n_nationkey")
 
 
 @register(
@@ -104,4 +104,4 @@ def q04_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     out = scratch_dir("q04_supplier_parquet")
     cat.supplier.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out).orderBy("s_suppkey")
+    return spark.read.parquet(out).transform(ordered, "s_suppkey")

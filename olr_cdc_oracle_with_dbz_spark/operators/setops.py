@@ -56,7 +56,7 @@ def q38_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
-    return urgent.intersect(high).orderBy("o_custkey")
+    return urgent.intersect(high).transform(ordered, "o_custkey")
 
 
 @register(
@@ -74,7 +74,7 @@ def q38b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
-    return urgent.subtract(high).orderBy("o_custkey")
+    return urgent.subtract(high).transform(ordered, "o_custkey")
 
 
 @register(
@@ -87,6 +87,6 @@ def q38b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (partial-agg dedup before shuffle)."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+    return li.select("l_returnflag", "l_linestatus").distinct().transform(ordered, 
         "l_returnflag", "l_linestatus"
     )

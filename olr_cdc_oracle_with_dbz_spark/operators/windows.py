@@ -154,7 +154,7 @@ def q35_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_totalprice",
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_null"),
-    ).orderBy(
+    ).transform(ordered, 
         F.col("maybe_null").asc_nulls_first(),
         F.col("o_totalprice").desc(),
         F.col("o_orderkey"),
@@ -173,7 +173,7 @@ def q36_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     return (
         o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .transform(ordered, F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
 
@@ -198,7 +198,7 @@ def q31b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-    ).orderBy("o_orderkey")
+    ).transform(ordered, "o_orderkey")
 
 
 @register(
@@ -281,5 +281,5 @@ def q21c_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("wk") == F.col("c") + F.expr("INTERVAL 7 DAY"), F.col("user_id"))
             ).alias("n_retained_w1"),
         )
-        .orderBy("cohort_week")
+        .transform(ordered, "cohort_week")
     )

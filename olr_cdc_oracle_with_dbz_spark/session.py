@@ -46,7 +46,7 @@ _DEFAULTS: dict[str, str] = {
     # On a 100 TB cluster deployment override via SPARK_GRAFT_CONF_* to the
     # large-file values: maxPartitionBytes=128m, openCostInBytes=4m,
     # advisoryPartitionSizeInBytes=64m.
-    "spark.sql.files.maxPartitionBytes": "8388608",
+    "spark.sql.files.maxPartitionBytes": "4194304",
     "spark.sql.files.openCostInBytes": "262144",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2097152",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

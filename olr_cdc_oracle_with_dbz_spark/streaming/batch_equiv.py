@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, sql_sum6, sum6
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -33,7 +33,7 @@ def s2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), sum6("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
-        .orderBy("win_start")
+        .transform(ordered, "win_start")
     )
 
 
@@ -66,7 +66,7 @@ def s3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), sum6("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
-        .orderBy("win_start")
+        .transform(ordered, "win_start")
     )
 
 
@@ -113,5 +113,5 @@ def s4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        .transform(ordered, "user_id", "session_start")
     )
