@@ -324,7 +324,10 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
         )
-        .dropDuplicates(["pi", "pj", "vec_id"])
+        # no dedup needed: for a row with _blk=b, each unordered pair
+        # (min(b,o), max(b,o)) is produced by exactly one value of _other,
+        # so (pi, pj, vec_id) is already unique — a dropDuplicates here
+        # compiled to TWO vector-shuffling SortAggregate exchanges
     )
 
     def _fold_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
