@@ -355,14 +355,20 @@ def q29b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the sketch accuracy itself is under the driver's hash gate.
     """
     o = Catalog(spark, sf_dir).orders
+    # Two aggregations joined on the 5-row group key, NOT one: mixing a
+    # DISTINCT aggregate (Expand rewrite) with object-agg percentiles in a
+    # single agg forces a sort-based fallback over expanded rows — measured
+    # 8.3 s vs ~1 s for the split form at sf0.1.
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_cust")
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
-            F.countDistinct("o_custkey").alias("exact_cust"),
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
-        )
+        sketches.join(exact, "o_orderpriority")
         .select(
             "o_orderpriority",
             (
