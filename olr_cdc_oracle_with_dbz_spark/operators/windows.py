@@ -171,9 +171,13 @@ def q35_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-100 — Spark plans TakeOrderedAndProject (no full sort)."""
     o = Catalog(spark, sf_dir).orders
+    # plain orderBy here, NOT ordered(): sort+limit must stay adjacent so
+    # Catalyst plans TakeOrderedAndProject (distributed per-partition
+    # top-k + small merge); a repartition between them would force a full
+    # single-partition sort of the input before the limit
     return (
         o.select("o_orderkey", "o_totalprice")
-        .transform(ordered, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
 

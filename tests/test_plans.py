@@ -117,6 +117,14 @@ def test_funnel_and_retention_single_user_shuffle(spark, sf_dir, reg):
         assert "CartesianProduct" not in plan, name
 
 
+def test_global_topk_is_take_ordered(spark, sf_dir, reg):
+    """q36: sort+limit must plan as TakeOrderedAndProject (distributed
+    per-partition top-k), never a single-partition full sort of the input."""
+    plan = _plan(reg["q36_limit_topk"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_minhash_signatures_zero_shuffle(spark, sf_dir):
     """MinHash signatures are a pure per-row expression chain (in-row
     shingle array + array_min per permutation) — the plan must contain NO
