@@ -49,7 +49,7 @@ def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
         F.instr(F.col("p_name"), "widget").alias("pos_widget"),
-    ).transform(ordered, "p_partkey")
+    ).transform(ordered, "p_partkey", partitions=8)
 
 
 @register(
@@ -85,7 +85,7 @@ def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("date").alias("as_date"),
         F.unix_timestamp(d).alias("epoch_s"),
         F.date_format(d, "yyyy-MM-dd").alias("ymd"),
-    ).transform(ordered, "o_orderkey")
+    ).transform(ordered, "o_orderkey", partitions=8)
 
 
 @register(
@@ -122,7 +122,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
         (F.col("l_orderkey") % 7).alias("m7"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
 
 
 @register(
@@ -160,7 +160,7 @@ def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             6,
         ).alias("head_sum"),
-    ).transform(ordered, "vec_id")
+    ).transform(ordered, "vec_id", partitions=8)
 
 
 @register(
@@ -223,7 +223,7 @@ def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed.getField("k").alias("k_val"),
         parsed.getField("missing").alias("missing"),
-    ).transform(ordered, "event_id")
+    ).transform(ordered, "event_id", partitions=8)
 
 
 @register(
@@ -247,7 +247,7 @@ def q45b_from_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed.getField("k").alias("parsed_k"),
             rendered.alias("rendered"),
         )
-        .transform(ordered, "event_id")
+        .transform(ordered, "event_id", partitions=8)
     )
 
 
@@ -273,7 +273,7 @@ def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("p_size"), F.lit(25)).alias("g"),
         F.least(F.col("p_size"), F.lit(25)).alias("l"),
         F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("bigint").alias("h_int"),
-    ).transform(ordered, "p_partkey")
+    ).transform(ordered, "p_partkey", partitions=8)
 
 
 @register(
@@ -335,7 +335,7 @@ def q44c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retail"),
         )
         .unpivot("p_partkey", ["size", "retail"], "metric", "val")
-        .transform(ordered, "p_partkey", "metric")
+        .transform(ordered, "p_partkey", "metric", partitions=8)
     )
 
 
@@ -382,7 +382,7 @@ def q43c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l1.cast("double"), 6).alias("l1_head"),
         F.size(F.filter(emb, lambda x: x.cast("double") > 0)).alias("n_pos"),
         F.round(zip_dot.cast("double"), 6).alias("zip_dot"),
-    ).transform(ordered, "vec_id")
+    ).transform(ordered, "vec_id", partitions=8)
 
 
 @register(
@@ -413,5 +413,5 @@ def q10b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
         .select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
-        .transform(ordered, "k1", "k2")
+        .transform(ordered, "k1", "k2", partitions=8)
     )

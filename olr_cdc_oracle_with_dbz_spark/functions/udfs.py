@@ -50,7 +50,7 @@ def u1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(net_udf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
 
 
 def _net_price_series(price: pd.Series, discount: pd.Series) -> pd.Series:
@@ -75,7 +75,7 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).transform(ordered, "l_orderkey", "l_linenumber")
+    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
 
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -118,7 +118,7 @@ def u3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "l_orderkey")
         .groupBy("l_orderkey")
         .applyInPandas(_normalize_group, "l_orderkey bigint, l_linenumber int, qty_dev double")
-        .transform(ordered, "l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
     )
 
 

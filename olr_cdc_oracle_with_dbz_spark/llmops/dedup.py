@@ -56,7 +56,7 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .transform(ordered, "keep_id")
+        .transform(ordered, "keep_id", partitions=8)
     )
 
 
@@ -164,7 +164,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
-        .transform(ordered, "doc_a", "doc_b")
+        .transform(ordered, "doc_a", "doc_b", partitions=8)
     )
 
 
@@ -266,7 +266,7 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same language) — the exact-verification stage of a dedup pipeline; at
     scale the LSH candidates (l2_minhash_lsh) gate which pairs reach it.
     """
-    return _jaccard_pairs(spark, sf_dir).transform(ordered, "doc_a", "doc_b")
+    return _jaccard_pairs(spark, sf_dir).transform(ordered, "doc_a", "doc_b", partitions=8)
 
 
 _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
@@ -378,7 +378,7 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rep.groupBy("pi", "pj")
         .applyInPandas(block_pair, "vec_a bigint, vec_b bigint, cosine double")
-        .transform(ordered, "vec_a", "vec_b")
+        .transform(ordered, "vec_a", "vec_b", partitions=8)
     )
 
 
@@ -430,7 +430,7 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(16):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.cast("bigint").alias("simhash")).transform(ordered, "doc_id")
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash")).transform(ordered, "doc_id", partitions=8)
 
 
 @register(
@@ -508,7 +508,7 @@ def l2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.unionByName(singletons)
         .select("doc_id", F.col("lab").alias("cluster"))
-        .transform(ordered, "doc_id")
+        .transform(ordered, "doc_id", partitions=8)
     )
 
 
@@ -539,7 +539,7 @@ def l9_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
-    return d.select("doc_id", split.alias("split")).transform(ordered, "doc_id")
+    return d.select("doc_id", split.alias("split")).transform(ordered, "doc_id", partitions=8)
 
 
 @register(
@@ -580,7 +580,7 @@ def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.1).cast("bigint"))
         .select("doc_id", "lang")
-        .transform(ordered, "doc_id")
+        .transform(ordered, "doc_id", partitions=8)
     )
 
 
@@ -624,7 +624,7 @@ def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
-        .transform(ordered, "doc_a", "doc_b")
+        .transform(ordered, "doc_a", "doc_b", partitions=8)
     )
 
 

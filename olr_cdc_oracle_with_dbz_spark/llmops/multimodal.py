@@ -72,7 +72,7 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.ascii(F.decode(F.expr("substring(asset, 1, 1)"), "utf-8")).alias("first_byte"),
         F.md5(F.col("asset")).alias("payload_md5"),
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +164,7 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.element_at(f, 2) >= 0)
             & (F.element_at(f, 2) < 997)
         ).alias("stats_ok"),
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 def resize_assets(

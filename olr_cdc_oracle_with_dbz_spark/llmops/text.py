@@ -69,7 +69,7 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ts)).alias("n_distinct"),
         F.round(F.col("n_chars").cast("double") / F.size(ts), 6).alias("chars_per_token"),
         F.round(n_stop.cast("double") / F.size(ts), 6).alias("stopword_ratio"),
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -117,7 +117,7 @@ def l5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 @register(
@@ -146,7 +146,7 @@ def l5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.size(F.array_distinct(ts)).cast("double") / n * 2, F.lit(1.0)) * 0.3
         + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
     )
-    return d.select("doc_id", F.round(quality, 6).alias("quality")).transform(ordered, "doc_id")
+    return d.select("doc_id", F.round(quality, 6).alias("quality")).transform(ordered, "doc_id", partitions=8)
 
 
 _KEYWORDS = ("spark", "join", "merge", "window", "hash")
@@ -212,7 +212,7 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("tfidf"),
         )
-        .transform(ordered, "doc_id", "kw")
+        .transform(ordered, "doc_id", "kw", partitions=8)
     )
 
 
@@ -249,7 +249,7 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
-    return d.select("doc_id", fp.alias("fingerprint")).transform(ordered, "doc_id")
+    return d.select("doc_id", fp.alias("fingerprint")).transform(ordered, "doc_id", partitions=8)
 
 
 #: PII patterns in the Java-regex ∩ RE2 dialect intersection
@@ -302,7 +302,7 @@ def l5d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(t1, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(F.regexp_replace(t1, _PHONE_RE, "<PHONE>")).alias("clean_md5"),
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 @register(
@@ -363,7 +363,7 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_boiler").cast("double") / F.col("n_distinct_toks"), 6).alias(
             "boiler_ratio"
         ),
-    ).transform(ordered, "doc_id")
+    ).transform(ordered, "doc_id", partitions=8)
 
 
 @register(
@@ -427,5 +427,5 @@ def l8_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.join(keep, "doc_id")
         .select("doc_id", F.round("quality", 6).alias("quality"), clean.alias("clean_md5"))
-        .transform(ordered, "doc_id")
+        .transform(ordered, "doc_id", partitions=8)
     )

@@ -244,7 +244,7 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 150)
         .select("l_orderkey", render(F.col("_sq")).alias("sum_qty"))
-        .transform(ordered, "l_orderkey")
+        .transform(ordered, "l_orderkey", partitions=8)
     )
 
 

@@ -49,7 +49,7 @@ def q02_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         Catalog(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
-        .transform(ordered, "l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
     )
 
 

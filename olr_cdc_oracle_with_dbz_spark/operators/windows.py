@@ -42,7 +42,7 @@ def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(by_price).alias("drnk"),
         F.row_number().over(total).alias("rn"),
         F.ntile(4).over(total).alias("quart"),
-    ).transform(ordered, "o_custkey", "o_orderkey")
+    ).transform(ordered, "o_custkey", "o_orderkey", partitions=8)
 
 
 @register(
@@ -72,7 +72,7 @@ def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(whole).alias("last_type"),
-    ).transform(ordered, "user_id", "event_id")
+    ).transform(ordered, "user_id", "event_id", partitions=8)
 
 
 @register(
@@ -107,7 +107,7 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum(dec_price).over(running).cast("double"), 6).alias("running_rev"),
         F.round(F.sum(dec_price).over(near).cast("double"), 6).alias("near_rev"),
-    ).transform(ordered, "o_custkey", "o_orderkey")
+    ).transform(ordered, "o_custkey", "o_orderkey", partitions=8)
 
 
 @register(
@@ -133,7 +133,7 @@ def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .transform(ordered, "l_orderkey", "l_linenumber")
+        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
     )
 
 
@@ -154,10 +154,12 @@ def q35_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_totalprice",
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_null"),
-    ).transform(ordered, 
+    ).transform(
+        ordered,
         F.col("maybe_null").asc_nulls_first(),
         F.col("o_totalprice").desc(),
         F.col("o_orderkey"),
+        partitions=8,
     )
 
 
@@ -202,7 +204,7 @@ def q31b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-    ).transform(ordered, "o_orderkey")
+    ).transform(ordered, "o_orderkey", partitions=8)
 
 
 @register(

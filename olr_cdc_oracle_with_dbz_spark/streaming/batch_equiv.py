@@ -113,5 +113,5 @@ def s4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
-        .transform(ordered, "user_id", "session_start")
+        .transform(ordered, "user_id", "session_start", partitions=8)
     )
