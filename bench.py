@@ -54,8 +54,18 @@ def main() -> None:
     ingest_sec = round(time.perf_counter() - t0, 4)
     os.environ["SPARK_GRAFT_LAYOUT_CACHE"] = "1"
 
-    # warm-up: JVM, parquet footers, codegen
+    # warm-up: JVM, parquet footers, codegen — and the Python/Arrow worker
+    # pool (first pandas-UDF call otherwise pays worker spawn + Arrow init
+    # inside whichever UDF query runs first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import warnings
+
+    from pyspark.sql.functions import pandas_udf
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # no type hints → SCALAR by default
+        _warm = pandas_udf(lambda s: s, "long")
+    spark.range(64).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     def run_once(name: str) -> float:
         # construction is inside the timer: for iterative operators
