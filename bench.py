@@ -103,6 +103,7 @@ def main() -> None:
         # best of 2: identical work varies 2-4x with accumulated JVM state
         # (GC/codegen-cache pressure after the ~100-query sweep); the best
         # run is the JVM-noise-free throughput of the pipeline itself
+        completed = 0
         for _ in range(2):
             work = tempfile.mkdtemp(prefix="cdc-bench-")
             try:
@@ -114,14 +115,15 @@ def main() -> None:
                 )
                 q.awaitTermination(600)
                 el = time.perf_counter() - t0
+                completed += 1
                 if not cdc_stats or n_events / el > cdc_stats["events_per_sec"]:
                     cdc_stats = {
                         "events": n_events,
                         "sec": round(el, 4),
                         "events_per_sec": round(n_events / el, 1),
                         "final_rows": table.read().count(),
-                        "runs": 2,
                     }
+                cdc_stats["runs"] = completed  # best of the runs that FINISHED
             finally:
                 shutil.rmtree(work, ignore_errors=True)
     except Exception as ex:  # throughput section must not kill the bench
@@ -133,20 +135,34 @@ def main() -> None:
     # throughput, ingest, optional baseline) goes to BENCH_DETAILS.json.
     #
     # value = the EXACT-class oracle-checked total — the set BASELINE.md
-    # defines the ≤2× bar over (APPROX-class queries have no DuckDB
-    # counterpart by construction; they are timed and reported under
-    # approx_sec so the number is visible, just not conflated with the bar).
+    # defines the ≤2× bar over. Named exact_total_sec (not total_sec) so a
+    # cross-round comparison can't mistake the redefinition for a speedup.
+    # APPROX-class queries (approx=True: sketches, LSH/IVF — no DuckDB
+    # counterpart by construction) are timed under approx_sec; exact but
+    # oracle-less queries (l4b brute force, gated by the l4bv agreement
+    # check instead) under unoracled_sec.
     exact = {
         n: v for n, v in timings.items() if registry[n].oracle and not registry[n].approx
     }
-    approx_sec = round(sum(v for n, v in timings.items() if n not in exact and v > 0), 3)
+    approx_sec = round(
+        sum(v for n, v in timings.items() if registry[n].approx and v > 0), 3
+    )
+    unoracled_sec = round(
+        sum(
+            v
+            for n, v in timings.items()
+            if n not in exact and not registry[n].approx and v > 0
+        ),
+        3,
+    )
     result = {
-        "metric": "total_sec",
+        "metric": "exact_total_sec",
         "value": round(sum(v for v in exact.values() if v > 0), 3),
         "unit": "sec",
         "queries": {n: round(v, 3) for n, v in timings.items()},
         "sf": sf,
         "approx_sec": approx_sec,
+        "unoracled_sec": unoracled_sec,
     }
     details = {
         **result,
@@ -176,7 +192,14 @@ def main() -> None:
         details["baseline_total"] = round(sum(v for v in base.values() if v > 0), 4)
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(out_dir, "BENCH_DETAILS.json"), "w") as f:
+    # subset spot-checks (BENCH_QUERIES) must not clobber the committed
+    # full-run record — redirect them to a sidecar file
+    fname = (
+        "BENCH_DETAILS.subset.json"
+        if os.environ.get("BENCH_QUERIES")
+        else "BENCH_DETAILS.json"
+    )
+    with open(os.path.join(out_dir, fname), "w") as f:
         json.dump(details, f, indent=1)
     print(json.dumps(result, separators=(",", ":")))
 

@@ -90,12 +90,15 @@ def strip_confluent_header(value: Column) -> Column:
     Confluent framing = 1 magic byte (0x00) + 4-byte big-endian schema id
     + Avro body. Pure binary slicing — works without the avro jar.
     """
-    return F.expr(f"substring({value._jc.toString()}, 6, 2147483647)")
+    return F.substring(value, 6, 2147483647)
 
 
 def confluent_schema_id(value: Column) -> Column:
     """Extract the big-endian 4-byte schema id from the wire framing."""
-    b = lambda i: F.conv(F.hex(F.expr(f"substring({value._jc.toString()}, {i}, 1)")), 16, 10).cast("long")  # noqa: E731
+
+    def b(i: int) -> Column:
+        return F.conv(F.hex(F.substring(value, i, 1)), 16, 10).cast("long")
+
     return (b(2) * 16777216 + b(3) * 65536 + b(4) * 256 + b(5)).alias("schema_id")
 
 

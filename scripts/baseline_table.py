@@ -31,6 +31,8 @@ GROUPS: list[tuple[str, str]] = [
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAILS.json"
     d = json.load(open(path))
+    if "baseline" not in d:
+        sys.exit(f"{path} has no baseline section — run BENCH_BASELINE=1 python bench.py first")
     base, q = d["baseline"], d["queries"]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from olr_cdc_oracle_with_dbz_spark.registry import load_all
@@ -45,11 +47,18 @@ def main() -> None:
         return "?ungrouped"
 
     agg: dict[str, list[float]] = {}
+    dropped = []
     for n in sorted(exact):
         if base.get(n, -1) > 0 and q.get(n, -1) > 0:
             g = agg.setdefault(grp(n), [0.0, 0.0])
             g[0] += base[n]
             g[1] += q[n]
+        else:
+            dropped.append(n)
+    if dropped:
+        print(f"WARNING dropped (errored/missing timing or baseline): {dropped}", file=sys.stderr)
+    if not agg:
+        sys.exit("no usable (engine, baseline) pairs — run BENCH_BASELINE=1 python bench.py (full set) first")
 
     print("| Query group (SURVEY §2B) | DuckDB sf0.1 (s, baseline) | Engine sf0.1 (s) | Ratio |")
     print("|---|---|---|---|")
