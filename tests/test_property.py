@@ -182,3 +182,43 @@ def test_string_function_parity(spark, vals):
             "concat_ws('|', s, s) AS cc FROM t"
         ),
     )
+
+
+# --- round-2 helpers: ordered() ≡ orderBy, explode_once ≡ explode ---------
+
+@given(rows=st.lists(ROW, min_size=0, max_size=30), parts=st.sampled_from([1, 3, 8]))
+@SETTINGS
+def test_ordered_equals_orderby(spark, rows, parts):
+    """ordered(df, cols, partitions=N) must produce the identical global
+    row order as orderBy for every N, including NULL keys, ties, and desc
+    — the property the round-2 presentation-sort rewrite rests on."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+
+    df = _spark_df(spark, rows)
+    keys = [F.col("s").asc_nulls_first(), F.col("v").desc(), F.col("k")]
+    want = [tuple(r) for r in df.orderBy(*keys).collect()]
+    got = [tuple(r) for r in ordered(df, *keys, partitions=parts).collect()]
+    # rows tied on ALL sort keys are interchangeable between the two
+    # forms, so compare (a) the multiset of rows and (b) the sort-key
+    # projection sequence, which is fully determined
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+    assert [(t[2], t[1], t[0]) for t in got] == [(t[2], t[1], t[0]) for t in want]
+
+
+@given(rows=st.lists(ROW, min_size=0, max_size=30))
+@SETTINGS
+def test_explode_once_equals_explode_on_random_arrays(spark, rows):
+    """explode_once over a computed array (split of a nullable string)
+    must emit exactly the rows plain explode emits — empty strings, NULL
+    inputs, and duplicate elements included."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
+
+    df = _spark_df(spark, rows)
+    arr = F.split(F.upper(F.coalesce("s", F.lit("n u l l"))), " ")
+    plain = df.select("k", F.explode(arr).alias("t"))
+    once = explode_once(df, ["k"], arr, "t")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, plain.collect()))
