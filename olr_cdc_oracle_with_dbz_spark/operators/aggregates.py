@@ -308,13 +308,22 @@ def q27_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile / median (linear interpolation both engines)."""
+    """Exact percentile / median (linear interpolation both engines).
+
+    ONE percentile aggregate with an array of quantiles — separate
+    percentile() calls each buffer the full value column in their own
+    aggregation state (measured 2× slower for identical results).
+    """
     o = Catalog(spark, sf_dir).orders
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9))).alias("_ps")
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_ps")[0], 6).alias("median_price"),
+            F.round(F.col("_ps")[1], 6).alias("p90_price"),
         )
         .transform(ordered, "o_orderpriority")
     )
