@@ -93,20 +93,28 @@ def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1)                 AS r1,
-           FLOOR(l_extendedprice)                    AS flr,
-           CEIL(l_extendedprice)                     AS cl,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)    AS flr,
+           CAST(CEIL(l_extendedprice) AS BIGINT)     AS cl,
            ABS(l_discount - 0.05)                    AS ad,
            ROUND(sqrt(l_extendedprice), 6)           AS sq,
            ROUND(ln(l_extendedprice), 6)             AS lg,
            ROUND(exp(l_discount), 6)                 AS ex,
            ROUND(pow(l_quantity, 2), 6)              AS p2,
            l_orderkey % 7                            AS m7,
-           sign(l_discount - 0.05)                   AS sg
+           CAST(sign(l_discount - 0.05) AS BIGINT)   AS sg
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
 def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function matrix (libm differences absorbed by round-6)."""
+    """Math function matrix.
+
+    Round-2 driver red dissected: every value was bitwise identical to the
+    oracle's — the hash mismatch was purely *render typing* (Spark
+    floor/ceil → BIGINT vs DuckDB's DOUBLE; Spark signum → DOUBLE vs
+    DuckDB's TINYINT). Both sides now pin the integer-valued columns to
+    BIGINT so the driver's type-sensitive canonical render agrees;
+    the libm columns (sq/lg/ex/p2) were never the problem.
+    """
     li = Catalog(spark, sf_dir).lineitem
     price = F.col("l_extendedprice")
     return li.select(
@@ -121,7 +129,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 6).alias("ex"),
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
         (F.col("l_orderkey") % 7).alias("m7"),
-        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("sg"),
     ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
 
 
@@ -280,9 +288,12 @@ def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44b_pivot",
     oracle="""
     SELECT n_name,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+           -- COUNT (BIGINT), not SUM: DuckDB SUM(INTEGER) returns HUGEINT,
+           -- which renders as float under the driver's canonicalization
+           -- while Spark's pivot-count is BIGINT (the q49 round-2 red)
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END) AS low
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey

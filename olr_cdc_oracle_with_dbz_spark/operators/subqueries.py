@@ -37,8 +37,13 @@ ORDER BY o.o_orderpriority
 
 _Q49 = """
 WITH cust_rev AS (
+  -- micro-unit long sum (the q22 pattern): exact, order-independent, and
+  -- render-type-stable. Round-2 driver red dissected: segment values were
+  -- bitwise identical; the hash mismatch was SUM(BIGINT) → HUGEINT in
+  -- DuckDB (rendered 2932.0) vs Spark's BIGINT (2932), so every summed
+  -- integer output below is pinned to BIGINT on both sides.
   SELECT o_custkey,
-         SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS rev,
+         SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS rev_micro,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
@@ -47,12 +52,8 @@ seg AS (
 )
 SELECT s.c_mktsegment,
        COUNT(*) AS n_cust,
-       -- round in the DECIMAL domain: ROUND(double, 6) of a ~1e10 value
-       -- differs by 1 ulp between engines (6-dp decimals of that
-       -- magnitude aren't representable as doubles); decimal round is
-       -- exact in both, and the final double cast picks the same nearest
-       CAST(ROUND(SUM(r.rev), 2) AS DOUBLE) AS segment_rev,
-       SUM(r.n_orders) AS segment_orders
+       ROUND(CAST(SUM(r.rev_micro) AS DOUBLE) / 1000000, 6) AS segment_rev,
+       CAST(SUM(r.n_orders) AS BIGINT) AS segment_orders
 FROM cust_rev r JOIN seg s ON r.o_custkey = s.c_custkey
 GROUP BY s.c_mktsegment
 ORDER BY s.c_mktsegment

@@ -5,6 +5,19 @@ column names + order-insensitive values), used by the test suite so every
 registered query is verified locally before the driver ever sees it. The
 comparison is STRICT — exact values after canonical normalization — so passing
 here implies passing any looser tolerance the driver applies.
+
+Round-2 postmortem (why this file grew teeth): two queries were green here
+and red at the driver twice in a row. The driver hashes a *rendered*
+canonical form, so value typing matters: an int64 ``2932`` and a float64
+``2932.0`` hash differently even though ``==`` says equal. Both round-2 reds
+were exactly this (q42: Spark floor/ceil BIGINT vs DuckDB DOUBLE, signum
+DOUBLE vs TINYINT; q49: DuckDB ``SUM(BIGINT)`` → HUGEINT → float). The gate
+therefore now fails on render-kind mismatches (:func:`type_kinds`) in
+addition to exact-value mismatches, making it strictly stronger than the
+driver's hash on both axes: typing (kind equality ⊇ render equality for
+matched values) and values (bitwise equality ⊇ round-6 render equality).
+Known DuckDB traps the kind check catches: SUM over any integer column
+(HUGEINT), FLOOR/CEIL (DOUBLE), sign (TINYINT), exact COUNT vs SUM typing.
 """
 
 from __future__ import annotations
@@ -51,6 +64,54 @@ def decimal_columns(df: pd.DataFrame) -> set:
     return out
 
 
+def type_kinds(df: pd.DataFrame) -> dict:
+    """Render-kind per column: the driver hashes a *rendered* canonical form,
+    so an int64 ``2932`` and a float64 ``2932.0`` hash differently even though
+    they compare numerically equal. (Proven by the round-2 driver reds:
+    q42 flr/cl were Spark BIGINT vs DuckDB DOUBLE, q49 segment_orders was
+    Spark BIGINT vs DuckDB SUM(BIGINT)→HUGEINT→float64 — all values bitwise
+    identical, hashes red.) Kinds: int / float / bool / str / datetime /
+    bytes / list. DATE and TIMESTAMP share the ``datetime`` kind (q41 mixes
+    them and is driver-green)."""
+    import datetime
+    import decimal
+
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if isinstance(s.dtype, pd.DatetimeTZDtype) or np.issubdtype(s.dtype, np.datetime64):
+            out[c] = "datetime"
+        elif s.dtype == bool:
+            out[c] = "bool"
+        elif np.issubdtype(s.dtype, np.integer):
+            out[c] = "int"
+        elif np.issubdtype(s.dtype, np.floating):
+            out[c] = "float"
+        else:
+            nn = s.dropna()
+            if not len(nn):
+                out[c] = "empty"
+                continue
+            v0 = nn.iloc[0]
+            if isinstance(v0, decimal.Decimal):
+                out[c] = "decimal"
+            elif isinstance(v0, bool):
+                out[c] = "bool"
+            elif isinstance(v0, int):
+                out[c] = "int"
+            elif isinstance(v0, float):
+                out[c] = "float"
+            elif isinstance(v0, datetime.date):  # date or datetime
+                out[c] = "datetime"
+            elif isinstance(v0, (bytes, bytearray)):
+                out[c] = "bytes"
+            elif isinstance(v0, (list, tuple, np.ndarray)):
+                out[c] = "list"
+            else:
+                out[c] = "str"
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Canonical pandas form: columns sorted by name, rows sorted, dtypes unified."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -93,6 +154,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
         return False, (
             f"decimal-typed columns differ (driver would hash-mismatch): "
             f"spark={sorted(dec_a)} oracle={sorted(dec_b)}"
+        )
+    ka, kb = type_kinds(spark_pdf), type_kinds(oracle_pdf)
+    kind_diff = {
+        c: (ka.get(c), kb.get(c))
+        for c in set(ka) | set(kb)
+        if ka.get(c) != kb.get(c) and "empty" not in (ka.get(c), kb.get(c))
+    }
+    if kind_diff:
+        return False, (
+            f"render-kind mismatch (driver would hash-mismatch): "
+            f"{ {c: f'spark={x} oracle={y}' for c, (x, y) in sorted(kind_diff.items())} }"
         )
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
