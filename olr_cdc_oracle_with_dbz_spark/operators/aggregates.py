@@ -87,14 +87,36 @@ def q22_hash_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-distinct aggregate (Catalyst expands to multi-pass plan)."""
+    """Multi-distinct aggregate — written as the scale path, not the naive
+    ``agg(countDistinct×3)``.
+
+    Catalyst compiles three countDistinct columns into a 3× Expand of the
+    input ahead of the shuffle (every row emitted once per distinct column),
+    so shuffle input scales with 3·|rows| regardless of key cardinality —
+    fine at sf0.1, a scale-killer at 100 TB (round-2 verdict #5). The
+    equivalent two-stage form: melt the three columns with ``stack`` (a
+    Generate, no Expand), pre-aggregate to DISTINCT (flag, col, value)
+    triples — map-side partial combine shrinks the shuffle to |distinct
+    keys| — then conditional-count per column. Result is hash-identical.
+    """
     li = Catalog(spark, sf_dir).lineitem
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 's', CAST(l_suppkey AS BIGINT),"
+            "         'p', CAST(l_partkey AS BIGINT),"
+            "         'o', CAST(l_orderkey AS BIGINT)) AS (k, v)"
+        ),
+    )
     return (
-        li.groupBy("l_returnflag")
+        # NULL filter preserves countDistinct's ignore-nulls semantics
+        melted.where(F.col("v").isNotNull())
+        .distinct()  # one shuffle of |distinct (flag,col,value)| triples
+        .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("l_partkey").alias("n_part"),
-            F.countDistinct("l_orderkey").alias("n_order"),
+            F.count(F.when(F.col("k") == "s", 1)).alias("n_supp"),
+            F.count(F.when(F.col("k") == "p", 1)).alias("n_part"),
+            F.count(F.when(F.col("k") == "o", 1)).alias("n_order"),
         )
         .transform(ordered, "l_returnflag")
     )

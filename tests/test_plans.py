@@ -182,3 +182,15 @@ def test_l2e_partitioning_follows_edge_volume(spark, sf_dir):
     base = l2e_dup_clusters(spark, sf_dir).toPandas()
     wide = l2e_dup_clusters(spark, sf_dir, edges_per_task=1).toPandas()
     assert base.equals(wide)
+
+
+def test_q23_multi_distinct_no_expand(spark, sf_dir, reg):
+    """q23: three distinct-count columns must NOT compile to Catalyst's 3×
+    Expand-before-shuffle (shuffle input = 3·|rows| at any key cardinality).
+    The melted two-stage form pre-aggregates map-side, so the first shuffle
+    carries only distinct (flag, col, value) triples."""
+    df = reg["q23_count_distinct"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    # map-side partial aggregate must sit below the first exchange
+    assert "partial" in plan.lower()
