@@ -37,8 +37,11 @@ def parse_envelope(
     """Parse Debezium-JSON strings into typed envelope rows (R4/R5).
 
     Output columns: before, after (row structs), op, ts_ms, source struct
-    with ``_scn``/``_txid``/``_rowid`` promoted as metadata columns — the
-    total order key per OpenLogReplicator.json:24-26.
+    with ``_scn``/``_ssn``/``_txid``/``_rowid`` promoted as metadata
+    columns — the total order key per OpenLogReplicator.json:24-26.
+    ``_ssn`` is Debezium's intra-transaction sequence (NULL where the wire
+    omits it); with it, (scn, ssn) is a total order over events even when
+    several ops on one key commit under the same SCN.
 
     ``schema`` is the pinned envelope schema for the stream's current
     schema version (R16: the reference pins decode schema to a dictionary
@@ -53,6 +56,7 @@ def parse_envelope(
         "op",
         "ts_ms",
         F.col("source.scn").alias("_scn"),
+        F.col("source.ssn").alias("_ssn"),
         F.col("source.txId").alias("_txid"),
         F.col("source.rowId").alias("_rowid"),
         F.col("source.schema").alias("_schema"),
@@ -101,6 +105,7 @@ def unwrap(env: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         is_del.alias("__deleted"),
         "op",
         "_scn",
+        "_ssn",
         "_txid",
         "_rowid",
     )
@@ -149,17 +154,27 @@ def compact_latest(
     so ordering is always re-derived from ``(_scn)``.
 
     Tie-break: two ops on the same key inside one Oracle transaction can
-    COMMIT under the same SCN. ``_scn`` alone would make ``row_number``
-    nondeterministic there, so the sort adds op precedence (d > u > c/r —
-    within a same-SCN group the logically-latest state of a key is the
-    delete if one exists, else the update) and ``_rowid`` as a final
-    deterministic key.
+    COMMIT under the same SCN. The PRIMARY same-SCN order is ``_ssn``
+    (Debezium's intra-transaction sequence, carried through
+    :func:`parse_envelope`) — log order, exactly what the reference
+    preserves via ``tasks.max=1`` — so a delete-then-re-insert within one
+    transaction correctly compacts to the re-inserted row. Where the wire
+    lacks a sequence (``_ssn`` NULL), the fallback is op precedence
+    (d > u > c/r: the logically-latest state of a key in a same-SCN group
+    is the delete if one exists, else the update) and ``_rowid`` as a
+    final deterministic key. LIMITATION (documented, round-2 advice): a
+    same-SCN d→c WITHOUT ssn still resolves to the delete under the
+    fallback — sequence-less wire formats cannot distinguish the two
+    orders.
     """
     op_rank = (
         F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
     )
     w = Window.partitionBy(key).orderBy(
-        F.col("_scn").desc(), op_rank.desc(), F.col("_rowid").desc()
+        F.col("_scn").desc(),
+        F.col("_ssn").desc_nulls_last(),
+        op_rank.desc(),
+        F.col("_rowid").desc(),
     )
     latest = unwrapped.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
@@ -167,5 +182,5 @@ def compact_latest(
     if keep_tombstones:
         return latest.drop("_rn", "op", "_txid", "_rowid")
     return latest.filter(~F.col("__deleted")).drop(
-        "_rn", "__deleted", "op", "_txid", "_rowid"
+        "_rn", "__deleted", "op", "_txid", "_rowid", "_ssn"
     )

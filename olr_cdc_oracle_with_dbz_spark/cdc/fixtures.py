@@ -3,9 +3,13 @@
 Mirrors the reference's verification DML (/root/reference/README.md:862-874 —
 INSERT → UPDATE price → DELETE on ``olr_db.product``) plus the edge cases
 from FIXTURES.md §1.3: snapshot reads, re-insert-after-delete, two updates in
-one transaction, explicit NULL update. Strictly increasing SCN
-(scn-type flag, /root/reference/scripts/OpenLogReplicator.json:24), xid/rid
-carried per event (:26, :21), price shipped as STRING
+one transaction, explicit NULL update, and a same-SCN delete→re-insert
+inside one transaction (ordered by ``ssn``, the intra-transaction sequence
+Debezium's Oracle source emits — the reference preserves log order via
+``tasks.max=1``, README.md:805; we re-derive it from (scn, ssn)). SCN
+increases per commit (scn-type flag,
+/root/reference/scripts/OpenLogReplicator.json:24), xid/rid carried per
+event (:26, :21), price shipped as STRING
 (``decimal.handling.mode: "string"``, /root/reference/README.md:823).
 
 One literal history, three renderings:
@@ -32,6 +36,7 @@ ROW4C = (4, "Test Product v2", "Re-inserted", "79.99", 7, _T0 + 10800_000, _T0 +
 ROW2B = (2, "Gadget", "Handy gadget", "29.99", 45, _T0, _T0 + 9000_000)
 ROW2C = (2, "Gadget", "Handy gadget", "27.99", 40, _T0, _T0 + 9000_000)
 ROW3B = (3, "Doohickey Pro", None, "9.99", 5, _T0, _T0 + 12600_000)
+ROW1X = (1, "Widget X", "Replaced in-txn", "24.99", 60, _T0 + 16200_000, _T0 + 16200_000)
 
 EVENTS: list[dict] = [
     # initial snapshot (snapshot.mode=initial, README.md:822)
@@ -51,12 +56,18 @@ EVENTS: list[dict] = [
     dict(scn=151, txid="T5", rowid="AAA0x2", op="u", before=ROW2B, after=ROW2C),
     # update keeping a NULL column
     dict(scn=160, txid="T6", rowid="AAA0x3", op="u", before=ROW3, after=ROW3B),
+    # delete + re-insert of one key inside ONE transaction: both events
+    # commit under the SAME SCN; only ssn (intra-txn sequence) orders them.
+    # Without it a d>u>c op-precedence heuristic would wrongly compact this
+    # key to 'deleted' (round-2 advice).
+    dict(scn=165, ssn=1, txid="T6B", rowid="AAA0x1", op="d", before=ROW1, after=None),
+    dict(scn=165, ssn=2, txid="T6B", rowid="AAA0x1", op="c", before=None, after=ROW1X),
 ]
 
 _COLS = ("id", "name", "description", "price", "stock", "created_date", "updated_date")
 
 #: Final state after upsert/delete compaction (R8/R9) — the golden result.
-EXPECTED_FINAL = [ROW1, ROW2C, ROW3B, ROW4C]
+EXPECTED_FINAL = [ROW1X, ROW2C, ROW3B, ROW4C]
 
 
 def _row_obj(row: tuple | None, cols: tuple[str, ...] = _COLS) -> dict | None:
@@ -76,6 +87,7 @@ def json_lines() -> list[str]:
                     "ts_ms": e["scn"] * 1000 + 1_700_000_000_000,
                     "source": {
                         "scn": e["scn"],
+                        "ssn": e.get("ssn"),
                         "txId": e["txid"],
                         "rowId": e["rowid"],
                         "schema": "OLR_DB",
@@ -96,7 +108,7 @@ ENVELOPE_SCHEMA = """
                   stock:int, created_date:bigint, updated_date:bigint>,
     op string,
     ts_ms bigint,
-    source struct<scn:bigint, txId:string, rowId:string,
+    source struct<scn:bigint, ssn:bigint, txId:string, rowId:string,
                   schema:string, table:string, ts_ms:bigint>
 """
 
@@ -119,10 +131,10 @@ def duckdb_values(name: str = "cdc_events") -> str:
     for e in EVENTS:
         b = e["before"] or (None,) * 7
         a = e["after"] or (None,) * 7
-        vals = [e["scn"], e["txid"], e["rowid"], e["op"], *b, *a]
+        vals = [e["scn"], e.get("ssn"), e["txid"], e["rowid"], e["op"], *b, *a]
         rows.append("(" + ", ".join(_sql_lit(v) for v in vals) + ")")
     cols = (
-        "scn, txid, rowid, op, "
+        "scn, ssn, txid, rowid, op, "
         "b_id, b_name, b_description, b_price, b_stock, b_created, b_updated, "
         "a_id, a_name, a_description, a_price, a_stock, a_created, a_updated"
     )
@@ -141,7 +153,7 @@ ROW5 = (5, "Gizmo", "Post-evolution insert", "49.99", 20, _T0 + 14400_000, _T0 +
 
 #: Events committed AFTER the DDL that added ``category`` (schema v2).
 EVENTS_V2: list[dict] = [
-    dict(scn=170, txid="T7", rowid="AAA0x1", op="u", before=ROW1 + (None,), after=ROW1B),
+    dict(scn=170, txid="T7", rowid="AAA0x1", op="u", before=ROW1X + (None,), after=ROW1B),
     dict(scn=171, txid="T8", rowid="AAA0x6", op="c", before=None, after=ROW5),
 ]
 
@@ -154,7 +166,7 @@ ENVELOPE_SCHEMA_V2 = """
                   category:string>,
     op string,
     ts_ms bigint,
-    source struct<scn:bigint, txId:string, rowId:string,
+    source struct<scn:bigint, ssn:bigint, txId:string, rowId:string,
                   schema:string, table:string, ts_ms:bigint>
 """
 
@@ -174,6 +186,7 @@ def json_lines_v2() -> list[str]:
                     "ts_ms": e["scn"] * 1000 + 1_700_000_000_000,
                     "source": {
                         "scn": e["scn"],
+                        "ssn": e.get("ssn"),
                         "txId": e["txid"],
                         "rowId": e["rowid"],
                         "schema": "OLR_DB",
@@ -195,10 +208,10 @@ def duckdb_values_v2(name: str = "cdc_events_v2") -> str:
         a = e["after"] or (None,) * 8
         b = tuple(b) + (None,) * (8 - len(b))
         a = tuple(a) + (None,) * (8 - len(a))
-        vals = [e["scn"], e["txid"], e["rowid"], e["op"], *b, *a]
+        vals = [e["scn"], e.get("ssn"), e["txid"], e["rowid"], e["op"], *b, *a]
         rows.append("(" + ", ".join(_sql_lit(v) for v in vals) + ")")
     cols = (
-        "scn, txid, rowid, op, "
+        "scn, ssn, txid, rowid, op, "
         "b_id, b_name, b_description, b_price, b_stock, b_created, b_updated, b_category, "
         "a_id, a_name, a_description, a_price, a_stock, a_created, a_updated, a_category"
     )

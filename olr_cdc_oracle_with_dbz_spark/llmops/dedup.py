@@ -76,7 +76,13 @@ def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     _hash60 is not required; seeding by permutation index makes the n_perm
     hash families independent.
     """
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    # docs with <3 tokens have no trigram shingle — excluded here exactly as
+    # the exact path (_jaccard_pairs) and the DuckDB oracle exclude them
+    # (round-2 advice: the sequence() fallback emitted one degenerate
+    # partial shingle for such docs, an inconsistent shingle contract)
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
     sharr = toks.select(
         "doc_id",
         F.array_distinct(
@@ -662,10 +668,13 @@ def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # high-similarity pair count and asserts the bound true).
 # ---------------------------------------------------------------------------
 
-_HI_J = 0.7  # banding config (8 bands × 4 rows, est ≥ 0.5 cut) must recall these
+_HI_J = 0.7  # banding config (4 bands × 4 rows, est ≥ 0.5 cut) must recall these
+
+_PAIR_RECALL_FLOOR = 0.8
 
 _L2V_ORACLE = f"""
-    SELECT COUNT(*) AS n_exact_hi, TRUE AS recall_ok
+    SELECT COUNT(*) AS n_exact_hi, CAST({_PAIR_RECALL_FLOOR} AS DOUBLE) AS floor,
+           TRUE AS recall_ok
     FROM ({_L2B_ORACLE}) WHERE jaccard >= {_HI_J}
 """
 
@@ -679,6 +688,8 @@ def _pair_recall_summary(
     tot = e.agg(F.count(F.lit(1)).alias("n_exact_hi"))
     return tot.crossJoin(hit).select(
         "n_exact_hi",
+        # the asserted bound is part of the checked record (round-2 advice)
+        F.lit(float(floor)).alias("floor"),
         (F.col("n_hit") >= F.lit(floor) * F.col("n_exact_hi")).alias("recall_ok"),
     )
 
@@ -688,7 +699,7 @@ def l2v_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding must recall ≥ 0.8 of exact Jaccard ≥ 0.7 pairs
     (measured 1.0 at sf0.001/sf0.01; deterministic hashes)."""
     return _pair_recall_summary(
-        l2_minhash_lsh(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), 0.8
+        l2_minhash_lsh(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), _PAIR_RECALL_FLOOR
     )
 
 
@@ -696,5 +707,5 @@ def l2v_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2fv_minhash_ml_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.ml MinHashLSH must recall ≥ 0.8 of exact Jaccard ≥ 0.7 pairs."""
     return _pair_recall_summary(
-        l2f_minhash_ml(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), 0.8
+        l2f_minhash_ml(spark, sf_dir), _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= _HI_J), _PAIR_RECALL_FLOOR
     )

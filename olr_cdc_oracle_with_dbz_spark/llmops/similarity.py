@@ -403,20 +403,26 @@ def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_summary(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
-    """One row: (n_exact, recall_ok) — |approx ∩ exact| / |exact| ≥ floor."""
+    """One row: (n_exact, floor, recall_ok) — |approx ∩ exact| / |exact| ≥ floor.
+
+    ``floor`` is emitted as an output column (round-2 advice: it was a
+    Spark-side-only constant before) so the driver's checked record
+    documents WHICH bound was asserted, and the oracle must state the
+    same literal or the hash goes red."""
     e = exact.select("query_id", "neighbor_id")
     a = approx.select("query_id", "neighbor_id")
     hit = e.join(a, ["query_id", "neighbor_id"]).agg(F.count(F.lit(1)).alias("n_hit"))
     tot = e.agg(F.count(F.lit(1)).alias("n_exact"))
     return tot.crossJoin(hit).select(
         "n_exact",
+        F.lit(float(floor)).alias("floor"),
         (F.col("n_hit") >= F.lit(floor) * F.col("n_exact")).alias("recall_ok"),
     )
 
 
 def _recall_oracle(floor: float) -> str:
     return f"""
-    SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+    SELECT COUNT(*) AS n_exact, CAST({floor} AS DOUBLE) AS floor, TRUE AS recall_ok
     FROM ({_L3_ORACLE})
     """
 
