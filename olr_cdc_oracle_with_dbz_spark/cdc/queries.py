@@ -118,7 +118,7 @@ def q51_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_ORACLE = f"""
     WITH {_V},
     unwrapped AS (
-      SELECT scn,
+      SELECT scn, ssn, op, rowid,
              CASE WHEN op = 'd' THEN b_id ELSE a_id END AS id,
              CASE WHEN op = 'd' THEN b_name ELSE a_name END AS name,
              CASE WHEN op = 'd' THEN b_description ELSE a_description END AS description,
@@ -130,7 +130,15 @@ _COMPACT_ORACLE = f"""
       FROM cdc_events
     ),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+      -- mirror compact_latest's full tie-break (envelope.py:173): same-SCN
+      -- events order by ssn (intra-txn sequence), then op precedence
+      -- d > u > c/r, then rowid as the deterministic final key
+      SELECT *, row_number() OVER (
+        PARTITION BY id
+        ORDER BY scn DESC, ssn DESC NULLS LAST,
+                 CASE WHEN op = 'd' THEN 2 WHEN op = 'u' THEN 1 ELSE 0 END DESC,
+                 rowid DESC
+      ) AS rn
       FROM unwrapped
     )
     SELECT id, name, coalesce(description, '(null)') AS description,
@@ -204,7 +212,7 @@ _V2 = fixtures.duckdb_values_v2()
     oracle=f"""
     WITH {_V2},
     unwrapped AS (
-      SELECT scn,
+      SELECT scn, ssn, op, rowid,
              CASE WHEN op = 'd' THEN b_id ELSE a_id END AS id,
              CASE WHEN op = 'd' THEN b_name ELSE a_name END AS name,
              CAST(CAST(CASE WHEN op = 'd' THEN b_price ELSE a_price END AS DECIMAL(10,2)) AS DOUBLE) AS price,
@@ -214,7 +222,14 @@ _V2 = fixtures.duckdb_values_v2()
       FROM cdc_events_v2
     ),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY id ORDER BY scn DESC) AS rn
+      -- same full tie-break as _COMPACT_ORACLE (the v1/v2 shared history
+      -- contains the same-SCN delete->re-insert at scn=165)
+      SELECT *, row_number() OVER (
+        PARTITION BY id
+        ORDER BY scn DESC, ssn DESC NULLS LAST,
+                 CASE WHEN op = 'd' THEN 2 WHEN op = 'u' THEN 1 ELSE 0 END DESC,
+                 rowid DESC
+      ) AS rn
       FROM unwrapped
     )
     SELECT id, name, price, stock, category
