@@ -52,6 +52,27 @@ UNIQUE_KEYS: dict[str, tuple[str, ...]] = {
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` across Spark versions.
+
+    The driver writes ``events.ts`` as parquet TIMESTAMP(NANOS).  Spark 3.x
+    only reads that under ``spark.sql.legacy.parquet.nanosAsLong`` (BIGINT
+    nanos); Spark 4.1+ ignores that conf and reads TIMESTAMP_NTZ natively.
+    Callers that need a plain TIMESTAMP for event-time windows must go
+    through this helper instead of assuming either dtype.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # legacy nanos-as-long read: truncate ns -> µs (same as DuckDB's cast)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 class Catalog:
     """Lazy table access for one scale-factor directory."""
 

@@ -166,20 +166,37 @@ def compact_latest(
     same-SCN d→c WITHOUT ssn still resolves to the delete under the
     fallback — sequence-less wire formats cannot distinguish the two
     orders.
+
+    Every tie-break column after ``_scn`` is OPTIONAL: frames from
+    sequence-less wire formats (or stored state written before ``_ssn``
+    was carried through) may lack ``_ssn``/``op``/``_rowid`` entirely, so
+    each key participates in the ordering only when the column is present
+    — an absent column behaves exactly like an all-NULL one.
     """
-    op_rank = (
-        F.when(F.col("op") == "d", 2).when(F.col("op") == "u", 1).otherwise(0)
-    )
-    w = Window.partitionBy(key).orderBy(
-        F.col("_scn").desc(),
-        F.col("_ssn").desc_nulls_last(),
-        op_rank.desc(),
-        F.col("_rowid").desc(),
-    )
+    cols = set(unwrapped.columns)
+    order = [F.col("_scn").desc()]
+    if "_ssn" in cols:
+        order.append(F.col("_ssn").desc_nulls_last())
+    if "op" in cols:
+        order.append(
+            F.when(F.col("op") == "d", 2)
+            .when(F.col("op") == "u", 1)
+            .otherwise(0)
+            .desc()
+        )
+    if "_rowid" in cols:
+        order.append(F.col("_rowid").desc())
+    w = Window.partitionBy(key).orderBy(*order)
     latest = unwrapped.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     )
     if keep_tombstones:
+        # Stored-state branch DELIBERATELY retains ``_ssn``: state is
+        # re-compacted against later micro-batches, and a late event
+        # committing under the SAME SCN as a stored row can only be
+        # ordered by the intra-transaction sequence. The default branch
+        # is a final user-facing snapshot — no further compaction — so
+        # ``_ssn`` is dropped there.
         return latest.drop("_rn", "op", "_txid", "_rowid")
     return latest.filter(~F.col("__deleted")).drop(
         "_rn", "__deleted", "op", "_txid", "_rowid", "_ssn"

@@ -26,11 +26,15 @@ def test_golden_final_state(spark):
 
 
 def test_delete_rewrite_sources_before_image(spark):
-    """README.md:846-848: the __deleted row carries the before-image."""
-    rows = E.unwrap(_env(spark)).filter(F.col("__deleted")).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert (r["id"], r["name"], str(r["price"])) == (4, "Test Product", "149.99")
+    """README.md:846-848: every __deleted row carries the before-image.
+
+    The fixture has two deletes: T3 (scn=130, id=4) and the same-SCN
+    delete half of the d->re-insert pair (T6B, scn=165, id=1)."""
+    rows = E.unwrap(_env(spark)).filter(F.col("__deleted")).orderBy("_scn").collect()
+    assert len(rows) == 2
+    t3, t6b = rows
+    assert (t3["id"], t3["name"], str(t3["price"])) == (4, "Test Product", "149.99")
+    assert (t6b["id"], t6b["name"], str(t6b["price"])) == (1, "Widget", "19.99")
 
 
 def test_intra_txn_ordering(spark):

@@ -13,6 +13,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_with_dbz_spark.catalog import normalize_event_ts
 from olr_cdc_oracle_with_dbz_spark.cdc import envelope as E
 from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import EXPECTED_FINAL, json_lines
 from olr_cdc_oracle_with_dbz_spark.streaming.ingest import read_cdc_stream
@@ -96,7 +97,7 @@ def test_s2_tumbling_window_streaming_matches_batch(spark, tmp_path):
     src = str(tmp_path / "ev_parquet")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     agg = stream.groupBy(F.window("ts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
     q = (
@@ -111,7 +112,7 @@ def test_s2_tumbling_window_streaming_matches_batch(spark, tmp_path):
         (r["window"]["start"], r["n"])
         for r in spark.sql("SELECT * FROM s2_mem").collect()
     }
-    ev_b = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev_b = normalize_event_ts(ev)
     want = {
         (r["window"]["start"], r["n"])
         for r in ev_b.groupBy(F.window("ts", "10 minutes"))
@@ -236,8 +237,8 @@ def test_s3_s4_streaming_windows_run(spark, tmp_path):
     src = str(tmp_path / "ev34")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    ev_b = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
+    ev_b = normalize_event_ts(ev)
 
     slide = stream.groupBy(F.window("ts", "10 minutes", "5 minutes")).count()
     q = (
@@ -396,8 +397,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     (clicks within 1h before each purchase, per user) equals the batch
     join over the same data."""
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    if "ts" in [f.name for f in ev.schema.fields if str(f.dataType) == "LongType()"]:
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(ev)
     clicks_dir = str(tmp_path / "clicks")
     buys_dir = str(tmp_path / "buys")
     ev.filter("event_type = 'click'").select("user_id", "event_id", "ts").write.parquet(clicks_dir)
@@ -514,8 +514,7 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     """Append output mode: a window row is emitted exactly once, and only
     after the watermark passes its end — open windows stay unemitted."""
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    if any(f.name == "ts" and str(f.dataType) == "LongType()" for f in ev.schema.fields):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(ev)
     src = str(tmp_path / "ap_in")
     ev.select("event_id", "user_id", "ts").write.parquet(src)
 
@@ -593,3 +592,35 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     # and the rewritten bucket's data is correct: key 0 updated, others kept
     got = {r["id"]: r["name"] for r in table.read().collect()}
     assert got[0] == "n0" and len(got) == 12
+
+
+def test_merge_batch_sequence_less_frame(spark, tmp_path):
+    """compact_latest's docstring promises a fallback for wire formats with
+    no intra-transaction sequence: a frame carrying ONLY (key, _scn, op,
+    __deleted) — no _ssn, no _rowid — must merge, upsert, and delete
+    correctly (regression: round-3 referenced `_ssn` unconditionally and
+    threw UNRESOLVED_COLUMN here)."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=2)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, name string, _scn bigint, op string, __deleted boolean"
+        )
+
+    table.merge_batch(
+        frame([(1, "a", 100, "c", False), (2, "b", 101, "c", False)]), batch_id=1
+    )
+    table.merge_batch(
+        frame([(1, "a2", 200, "u", False), (2, None, 201, "d", True)]), batch_id=2
+    )
+    got = {r["id"]: r["name"] for r in table.read().collect()}
+    assert got == {1: "a2"}  # key 1 updated, key 2 deleted
+
+    # same-SCN without a sequence resolves via op precedence (d > c) —
+    # the documented limitation, but it must not crash.
+    table.merge_batch(
+        frame([(1, None, 300, "d", True), (1, "a3", 300, "c", False)]), batch_id=3
+    )
+    assert table.read().count() == 0
