@@ -44,7 +44,10 @@ def _net_price_plain(price: float, discount: float) -> float:
 )
 def u1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python scalar UDF (parity vs built-in arithmetic)."""
-    net_udf = udf(_net_price_plain, "double")
+    # useArrow=False pinned: this IS the deliberate row-at-a-time demo, and
+    # Spark 4.1 warns "Cannot infer the eval type" on scalar type hints if
+    # the Arrow choice is left implicit.
+    net_udf = udf(_net_price_plain, "double", useArrow=False)
     li = Catalog(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 1000)
     return li.select(
         "l_orderkey",

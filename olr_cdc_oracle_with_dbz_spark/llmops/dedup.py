@@ -521,8 +521,10 @@ def l2e_dup_clusters(
         rounds += 1
         if rounds % 8 == 0:
             # periodic hard cut so plan analysis stays O(1) per round even
-            # on a pathologically deep component chain
-            new_labels = new_labels.localCheckpoint()
+            # on a pathologically deep component chain; eager=False so the
+            # checkpoint materializes inside the SAME convergence-sum action
+            # below — one job per round holds on cut rounds too
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
         # labels only ever decrease, so the label sum is a strictly

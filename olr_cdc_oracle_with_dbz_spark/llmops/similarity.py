@@ -98,7 +98,7 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_TABLES, _BITS_PER_TABLE = 3, 5
+_N_TABLES, _BITS_PER_TABLE = 12, 8
 
 
 def _plane_component(dim_idx: int, plane: int):
@@ -120,7 +120,11 @@ def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
 
 
 def lsh_buckets(
-    emb: DataFrame, n_tables: int = _N_TABLES, bits: int = _BITS_PER_TABLE, dim: int = 64
+    emb: DataFrame,
+    n_tables: int = _N_TABLES,
+    bits: int = _BITS_PER_TABLE,
+    dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Attach (tbl, bucket) rows per vector: multi-table sign-LSH.
 
@@ -128,12 +132,21 @@ def lsh_buckets(
     one bucket per table, so near neighbors collide in ≥1 table with high
     probability (recall grows with tables, precision with bits per table).
 
+    ``multiprobe=True`` (query side only) additionally probes every bucket
+    at Hamming distance 1 from the signature — ``bits + 1`` buckets per
+    table. On near-orthogonal vectors (this corpus: median top-1 cosine
+    ≈ 0.37) a single-bucket probe needs impractically many tables for
+    usable recall; Hamming-1 multiprobe buys the same recall for a
+    ``bits+1`` fan-out of the SMALL query side while the corpus keeps one
+    bucket per table (Lv et al., VLDB'07 multi-probe LSH).
+
     Signatures are computed in ONE vectorized pandas UDF (a single GEMM of
     the Arrow batch against the plane matrix) — the expression-tree form
     (n_tables·bits·dim codegen terms) measured ~50× slower.
     """
     planes = _plane_matrix(n_tables * bits, dim)
     weights = (1 << np.arange(bits)).astype(np.int64)
+    n_probes = bits + 1 if multiprobe else 1
 
     @pandas_udf("array<long>")
     def buckets_of(vecs: pd.Series) -> pd.Series:
@@ -141,14 +154,23 @@ def lsh_buckets(
         signs = (m @ planes.T) > 0  # (n, tables*bits)
         signs = signs.reshape(len(m), n_tables, bits)
         bks = (signs * weights).sum(axis=2)  # (n, tables)
-        return pd.Series(list(bks))
+        if multiprobe:
+            flips = bks[:, :, None] ^ weights[None, None, :]  # (n, tables, bits)
+            bks = np.concatenate([bks[:, :, None], flips], axis=2)
+        return pd.Series(list(bks.reshape(len(m), -1)))
 
     tb = emb.withColumn("bks", buckets_of("vec"))
     return tb.select(
         "vec_id",
         "vec",
         "norm",
-        F.posexplode("bks").alias("tbl", "bucket"),
+        F.posexplode("bks").alias("pos", "bucket"),
+    ).select(
+        "vec_id",
+        "vec",
+        "norm",
+        (F.col("pos") / n_probes).cast("int").alias("tbl"),
+        "bucket",
     )
 
 
@@ -156,20 +178,25 @@ def lsh_buckets(
 def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 (APPROX): multi-table sign-LSH ANN with exact rerank in buckets.
 
-    Candidates = pairs colliding in any of 3 tables (5 sign bits each) —
-    an equi-join on (tbl, bucket), never a cross product; exact cosine
-    reranks the union, top-5 kept. Recall vs L3 is pytest-enforced.
+    Candidates = pairs colliding in any of 12 tables (8 sign bits each,
+    Hamming-1 multiprobe on the query side) — an equi-join on
+    (tbl, bucket), never a cross product; exact cosine reranks the union,
+    top-5 kept. Recall vs L3 is pytest- and driver-enforced (l4v).
+
+    The multiprobe fan-out lands on the bounded query side (queries ×
+    tables × (bits+1) rows); the corpus side stays one row per (vector,
+    table), so at 100 TB the corpus signature table is 12× the id column
+    — the buckets ARE the partitioning, same as the IVF cells.
     """
     emb = with_norm(Catalog(spark, sf_dir).embeddings)
-    sig = lsh_buckets(emb)
-    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = lsh_buckets(emb.filter(F.col("vec_id") < _N_QUERIES), multiprobe=True).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qv"),
         F.col("norm").alias("qn"),
         "tbl",
         "bucket",
     )
-    c = sig.select(
+    c = lsh_buckets(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("cv"),
         F.col("norm").alias("cn"),
@@ -244,13 +271,16 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return assign
 
     for _ in range(_IVF_LLOYD_ITERS):
-        # Lloyd round: nearest-centroid assignment, spherical per-cell mean.
-        # groupBy(cell) with per-component avg keeps the whole round inside
-        # codegen aggregates — no explode, no UDF on the reduce side — and
-        # the shuffle after map-side combine is |cells| × dim doubles.
+        # Lloyd round: nearest-centroid assignment, spherical per-cell mean
+        # — the mean of UNIT vectors (vec[i]/norm), re-normalized, so a few
+        # long vectors can't drag the centroid (assignment is by cosine, so
+        # the update must live on the sphere too). groupBy(cell) with
+        # per-component avg keeps the whole round inside codegen aggregates
+        # — no explode, no UDF on the reduce side — and the shuffle after
+        # map-side combine is |cells| × dim doubles.
         assigned = emb.withColumn("cell", cells_of(1, bc)("vec")[0])
         means = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)]
+            *[F.avg(F.col("vec")[i] / F.col("norm")).alias(f"m{i}") for i in range(dim)]
         )
         new_mat = bc.value.copy()  # empty cells keep their seed centroid
         for r in means.collect():  # bounded: ≤ _IVF_CELLS rows
@@ -258,7 +288,11 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = np.linalg.norm(v)
             if nrm > 0:
                 new_mat[r["cell"]] = v / nrm
-        bc = spark.sparkContext.broadcast(new_mat)
+        superseded, bc = bc, spark.sparkContext.broadcast(new_mat)
+        # the collect() above was the last action reading the old centroid
+        # table — release its executor copies (long-running drivers
+        # otherwise accumulate one dead broadcast per Lloyd round).
+        superseded.destroy()
 
     corpus = emb.withColumn("cells", cells_of(1, bc)("vec")).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -399,7 +433,9 @@ def l4d_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count and asserts the bound true), so the driver's hash gate covers ANN
 # accuracy instead of recording an oracle-less err row. Floors sit under the
 # measured deterministic recalls (md5 planes / fixed seeds) with margin:
-# lsh .208→.15, ivf .55→.48 (2 Lloyd rounds), brute 1.0→.98, ml-brp .83→.70.
+# lsh .73→.60 (12×8-bit tables + Hamming-1 multiprobe; measured .732 sf0.001,
+# .732 sf0.01, .808 sf0.1), ivf .55→.48 (2 Lloyd rounds), brute 1.0→.98,
+# ml-brp .83→.70.
 
 
 def _recall_summary(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
@@ -427,11 +463,12 @@ def _recall_oracle(floor: float) -> str:
     """
 
 
-@register("l4v_ann_lsh_recall", oracle=_recall_oracle(0.15), bench=False, tags=("llm", "similarity"))
+@register("l4v_ann_lsh_recall", oracle=_recall_oracle(0.60), bench=False, tags=("llm", "similarity"))
 def l4v_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN recall ≥ 0.15 of exact top-5 (multi-table, 3×5 bits)."""
+    """Sign-LSH ANN recall ≥ 0.60 of exact top-5 (12×8-bit tables,
+    Hamming-1 multiprobe on queries)."""
     return _recall_summary(
-        l4_ann_lsh(spark, sf_dir), l3_cosine_topk(spark, sf_dir), 0.15
+        l4_ann_lsh(spark, sf_dir), l3_cosine_topk(spark, sf_dir), 0.60
     )
 
 

@@ -28,8 +28,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Parquet TIMESTAMP(NANOS) is rejected by Spark's reader; read as long
-    # and let the Catalog convert ns→µs (events.ts).
+    # Parquet TIMESTAMP(NANOS) handling differs by Spark version — the
+    # engine supports both: Spark 3.4/3.5 rejects NANOS unless this conf
+    # reads it as BIGINT nanos; Spark 4.1+ IGNORES this conf and reads
+    # TIMESTAMP_NTZ natively. Nothing may assume either dtype — all
+    # events.ts consumers go through catalog.normalize_event_ts (or the
+    # Catalog's conditional), which handles both.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: engine is permissive like the reference ingest
     # (unknown-type passthrough, /root/reference/scripts/OpenLogReplicator.json:25).

@@ -66,9 +66,9 @@ def test_ann_lsh_recall_vs_exact(spark):
         for r in reg["l4_ann_lsh"].spark_fn(spark, SF).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # 12-plane single-table sign-LSH on random 64-dim vectors: modest recall
-    # by design (bucket pruning); the floor guards against regressions.
-    assert recall >= 0.15, f"ANN recall collapsed: {recall:.3f}"
+    # 12 tables × 8 bits + Hamming-1 query multiprobe measures 0.732 here
+    # (deterministic md5 planes); the floor guards against regressions.
+    assert recall >= 0.60, f"ANN recall collapsed: {recall:.3f}"
 
 
 def test_matmul_bruteforce_matches_exact_topk(spark):
