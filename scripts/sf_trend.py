@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Measured sf-trend point: engine vs clean-process DuckDB at sf0.1 AND sf1.
+
+BASELINE.md's ≤2× scaling argument was fit on two small scale factors;
+this probe measures the marginal data-work ratio directly on a 10×
+scale-up (scripts/scale_testdata.py) over the most data-proportional
+queries — the set where per-query fixed overhead (Spark job scheduling,
+codegen, Python round-trips) is amortized and the number extrapolates to
+cluster scale. Dedup/ANN and tiny-fixture queries are excluded on
+purpose: the former change semantics under replication, the latter
+measure only the fixed floor.
+
+Per sf: engine = median of 3 warm runs in ONE session (bench.py method);
+DuckDB = median of 3 warm in a SUBPROCESS (clean-process rule — the
+resident JVM inflates in-process DuckDB ~3×). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TREND_QUERIES = [
+    "q01_scan_full",
+    "q05_arith_projection",
+    "q07_between_date",
+    "q09_like_regex",
+    "q13_inner_join",
+    "q18_range_join",
+    "q20_multiway_join",
+    "q22_hash_agg_tpch_q1",
+    "q23_count_distinct",
+    "q27_stats_aggs",
+    "q32_lag_lead",
+    "q40_string_funcs",
+    "q42_math_funcs",
+    "l5_text_stats",
+    "l6_tfidf",
+]
+
+_DUCK_SNIPPET = """
+import json, statistics, sys, time
+sys.path.insert(0, "/root/repo")
+from olr_cdc_oracle_with_dbz_spark.plans.parity import duckdb_connect
+from olr_cdc_oracle_with_dbz_spark.registry import load_all
+sf_dir, names = sys.argv[1], json.loads(sys.argv[2])
+reg = load_all()
+con = duckdb_connect(sf_dir)
+out = {}
+for n in names:
+    con.execute(reg[n].oracle).fetchall()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); con.execute(reg[n].oracle).fetchall()
+        ts.append(time.perf_counter() - t0)
+    out[n] = round(statistics.median(ts), 4)
+print(json.dumps(out))
+"""
+
+
+def duck_times(sf_dir: str) -> dict[str, float]:
+    res = subprocess.run(
+        [sys.executable, "-c", _DUCK_SNIPPET, sf_dir, json.dumps(TREND_QUERIES)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def spark_times(spark, sf_dir: str) -> dict[str, float]:
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    reg = load_all()
+
+    def run_once(n: str) -> float:
+        # bench.py method: construction + noop-write execution, NO driver
+        # collection (a .collect() of a multi-million-row result would time
+        # py4j serialization, not the engine)
+        t0 = time.perf_counter()
+        reg[n].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out = {}
+    for n in TREND_QUERIES:
+        run_once(n)  # warm: plan + scan cache
+        out[n] = round(statistics.median(run_once(n) for _ in range(3)), 4)
+    return out
+
+
+def main() -> None:
+    from olr_cdc_oracle_with_dbz_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    result = {}
+    for label, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/tmp/sfscale/sf1")]:
+        eng = spark_times(spark, sf_dir)
+        duck = duck_times(sf_dir)
+        result[label] = {
+            "engine": eng,
+            "duckdb": duck,
+            "engine_total": round(sum(eng.values()), 3),
+            "duckdb_total": round(sum(duck.values()), 3),
+            "ratio": round(sum(eng.values()) / sum(duck.values()), 3),
+        }
+    e0, e1 = result["sf0.1"]["engine_total"], result["sf1"]["engine_total"]
+    d0, d1 = result["sf0.1"]["duckdb_total"], result["sf1"]["duckdb_total"]
+    result["marginal_ratio"] = round((e1 - e0) / (d1 - d0), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
