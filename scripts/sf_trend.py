@@ -44,6 +44,12 @@ TREND_QUERIES = [
     "l6_tfidf",
 ]
 
+# DuckDB is timed TWO ways: .arrow() (columnar materialization — the
+# symmetric counterpart of Spark's noop write, the method the trend
+# conclusions use) and .fetchall() (the legacy BASELINE.md r2 method; at
+# sf1 its per-row Python tuple conversion dominates the big-output
+# queries and flips the comparison, which is a measurement artifact, not
+# an engine property).
 _DUCK_SNIPPET = """
 import json, statistics, sys, time
 sys.path.insert(0, "/root/repo")
@@ -54,12 +60,14 @@ reg = load_all()
 con = duckdb_connect(sf_dir)
 out = {}
 for n in names:
-    con.execute(reg[n].oracle).fetchall()
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter(); con.execute(reg[n].oracle).fetchall()
-        ts.append(time.perf_counter() - t0)
-    out[n] = round(statistics.median(ts), 4)
+    for method in ("arrow", "fetchall"):
+        getattr(con.execute(reg[n].oracle), method)()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            getattr(con.execute(reg[n].oracle), method)()
+            ts.append(time.perf_counter() - t0)
+        out[f"{n}:{method}"] = round(statistics.median(ts), 4)
 print(json.dumps(out))
 """
 
@@ -103,16 +111,23 @@ def main() -> None:
     for label, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/tmp/sfscale/sf1")]:
         eng = spark_times(spark, sf_dir)
         duck = duck_times(sf_dir)
+        arrow = {n: duck[f"{n}:arrow"] for n in TREND_QUERIES}
+        legacy = {n: duck[f"{n}:fetchall"] for n in TREND_QUERIES}
         result[label] = {
             "engine": eng,
-            "duckdb": duck,
+            "duckdb_arrow": arrow,
+            "duckdb_fetchall": legacy,
             "engine_total": round(sum(eng.values()), 3),
-            "duckdb_total": round(sum(duck.values()), 3),
-            "ratio": round(sum(eng.values()) / sum(duck.values()), 3),
+            "duckdb_arrow_total": round(sum(arrow.values()), 3),
+            "duckdb_fetchall_total": round(sum(legacy.values()), 3),
+            "ratio_vs_arrow": round(sum(eng.values()) / sum(arrow.values()), 3),
         }
     e0, e1 = result["sf0.1"]["engine_total"], result["sf1"]["engine_total"]
-    d0, d1 = result["sf0.1"]["duckdb_total"], result["sf1"]["duckdb_total"]
-    result["marginal_ratio"] = round((e1 - e0) / (d1 - d0), 3)
+    d0, d1 = (
+        result["sf0.1"]["duckdb_arrow_total"],
+        result["sf1"]["duckdb_arrow_total"],
+    )
+    result["marginal_ratio_vs_arrow"] = round((e1 - e0) / (d1 - d0), 3)
     print(json.dumps(result))
 
 
