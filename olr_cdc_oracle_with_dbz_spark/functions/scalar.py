@@ -208,7 +208,7 @@ def q44_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         st.getField("name").alias("s_name"),
         st.getField("region").alias("s_region"),
-        mp.getItem(F.col("n_name")).alias("m_val"),
+        mp[F.col("n_name")].alias("m_val"),  # getItem(Column) deprecated in Spark 3+
     ).transform(ordered, "n_nationkey")
 
 
