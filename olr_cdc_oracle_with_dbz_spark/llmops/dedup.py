@@ -389,11 +389,15 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_bits(n_bits: int = 16):
-    """Column expr list: signed per-bit contributions summed per doc."""
+    """Column expr list: signed per-bit contributions summed per doc.
+
+    Summed per token OCCURRENCE: Σ_occurrences ±1 ≡ Σ_distinct cnt·(±1),
+    so no (doc_id, tok) count pre-aggregation (and its shuffle) is needed
+    — one groupBy(doc_id) with map-side partials is the whole reduction.
+    """
     h = F.col("h")
-    cnt = F.col("cnt")
     return [
-        F.sum(cnt * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(n_bits)
     ]
 
@@ -426,12 +430,11 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Catalog(spark, sf_dir).documents
     toks = explode_once(d, ["doc_id"], F.split(F.lower("text"), " "), "tok")
-    counted = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", _hash60(F.col("tok")))
+    # hash per occurrence (map-side, codegen) — cheaper than the former
+    # (doc_id, tok) count shuffle it replaces; see _simhash_bits
+    bits = toks.withColumn("h", _hash60(F.col("tok"))).groupBy("doc_id").agg(
+        *_simhash_bits(16)
     )
-    bits = counted.groupBy("doc_id").agg(*_simhash_bits(16))
     sim = None
     for j in range(16):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
