@@ -24,6 +24,10 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.functions.generators import (
+    explode_once,
+    posexplode_once,
+)
 from olr_cdc_oracle_with_dbz_spark.registry import register
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
@@ -159,12 +163,11 @@ def lsh_buckets(
             bks = np.concatenate([bks[:, :, None], flips], axis=2)
         return pd.Series(list(bks.reshape(len(m), -1)))
 
-    tb = emb.withColumn("bks", buckets_of("vec"))
-    return tb.select(
-        "vec_id",
-        "vec",
-        "norm",
-        F.posexplode("bks").alias("pos", "bucket"),
+    # posexplode_once: a plain posexplode of the UDF output re-runs the
+    # signature GEMM twice per row (InferFiltersFromGenerate inlines the
+    # computed array into a size>0 filter — functions/generators.py)
+    return posexplode_once(
+        emb, ["vec_id", "vec", "norm"], buckets_of("vec"), "pos", "bucket"
     ).select(
         "vec_id",
         "vec",
@@ -294,21 +297,27 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # otherwise accumulate one dead broadcast per Lloyd round).
         superseded.destroy()
 
-    corpus = emb.withColumn("cells", cells_of(1, bc)("vec")).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        F.col("norm").alias("cn"),
-        F.explode("cells").alias("cell"),
+    # explode_once on both sides: a plain explode of the assignment-UDF
+    # output re-runs it twice per row (functions/generators.py)
+    corpus = explode_once(
+        emb,
+        [
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("cv"),
+            F.col("norm").alias("cn"),
+        ],
+        cells_of(1, bc)("vec"),
+        "cell",
     )
-    queries = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("cells", cells_of(_IVF_NPROBE, bc)("vec"))
-        .select(
+    queries = explode_once(
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        [
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qv"),
             F.col("norm").alias("qn"),
-            F.explode("cells").alias("cell"),
-        )
+        ],
+        cells_of(_IVF_NPROBE, bc)("vec"),
+        "cell",
     )
     cand = (
         queries.join(corpus, "cell")
