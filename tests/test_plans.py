@@ -194,3 +194,36 @@ def test_q23_multi_distinct_no_expand(spark, sf_dir, reg):
     assert "Expand" not in plan
     # map-side partial aggregate must sit below the first exchange
     assert "partial" in plan.lower()
+
+
+def test_udf_explodes_evaluate_signature_once(spark, sf_dir, reg):
+    """l4/l4c: exploding a pandas-UDF output must not re-run the UDF per
+    row (InferFiltersFromGenerate inlines a computed array into a size>0
+    filter — functions/generators.py). Pin: exactly one ArrowEvalPython
+    per lsh_buckets/cells_of call site in the plan."""
+    plan = _plan(reg["l4_ann_lsh"].spark_fn(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 2  # one per side (query, corpus)
+    plan_ivf = _plan(reg["l4c_ann_ivf"].spark_fn(spark, sf_dir))
+    assert plan_ivf.count("ArrowEvalPython") == 2  # corpus cells + query probes
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir, reg):
+    """q18: the 1h range join must run as an equi-join that includes the
+    hour-bucket key — a join keyed on user_id alone enumerates a key's
+    whole history per probe (quadratic in per-user density at scale)."""
+    plan = _plan(reg["q18_range_join"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket column participates in the join key (hashpartitioning or
+    # join condition), not only in a post-join filter
+    assert "_b" in plan
+
+
+def test_simhash_single_shuffle(spark, sf_dir, reg):
+    """l2c: per-occurrence signed bit sums need exactly ONE aggregation
+    exchange (groupBy doc_id); a second exchange means the fused-out
+    (doc_id, tok) pre-count crept back in."""
+    plan = _plan(reg["l2c_simhash"].spark_fn(spark, sf_dir))
+    # exchanges: 1 for the aggregation + 1 for the final ordered() range
+    # partitioning. Anything more is a regression.
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
