@@ -105,9 +105,15 @@ class JdbcIncrementalSource:
         os.replace(tmp, self.state_path)  # atomic, like the checkpoint swap
 
     def poll(self) -> DataFrame:
-        """One incremental batch: rows above the stored watermark."""
+        """One incremental batch: rows above the stored watermark.
+
+        The watermark column is ANSI-quoted in the pushed predicate —
+        unquoted identifiers get case-folded by the database and miss
+        case-exact column names (kafka-connect-jdbc likewise quotes by
+        default); verified against embedded Derby in test_jdbc_derby.py.
+        """
         wm = self._read_state()
-        pred = f"{self.watermark_col} > {wm}" if wm is not None else "1=1"
+        pred = f'"{self.watermark_col}" > {wm}' if wm is not None else "1=1"
         batch = self.load_fn(pred)
         new_wm = batch.agg(F.max(self.watermark_col)).collect()[0][0]
         if new_wm is not None:
@@ -116,23 +122,35 @@ class JdbcIncrementalSource:
 
 
 def upsert_statement(
-    table: str, columns: list[str], key: str, deleted_flag: str = "__deleted"
+    table: str,
+    columns: list[str],
+    key: str,
+    deleted_flag: str = "__deleted",
+    stage: str = "_stage",
 ) -> str:
     """R11: ANSI MERGE statement for the staged-upsert JDBC sink.
 
     The sink stages each micro-batch into a temp table and issues one
     MERGE — insert.mode=upsert + delete.enabled=true semantics
     (README.md:840-845) in a single statement.
+
+    Column identifiers are ANSI double-quoted: Spark's JDBC writer creates
+    the stage table with case-EXACT quoted column names, so an unquoted
+    reference gets case-folded by the database (Derby/Oracle → upper,
+    Postgres → lower) and misses. Verified against embedded Derby
+    end-to-end in tests/test_jdbc_derby.py. The table/stage names are
+    caller-provided verbatim (schema-qualified names stay intact).
     """
+    q = '"{}"'.format
     data_cols = [c for c in columns if c not in (key, deleted_flag)]
-    sets = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
-    ins_cols = ", ".join([key, *data_cols])
-    ins_vals = ", ".join(f"s.{c}" for c in [key, *data_cols])
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in data_cols)
+    ins_cols = ", ".join(q(c) for c in [key, *data_cols])
+    ins_vals = ", ".join(f"s.{q(c)}" for c in [key, *data_cols])
     return (
-        f"MERGE INTO {table} t USING _stage s ON t.{key} = s.{key} "
-        f"WHEN MATCHED AND s.{deleted_flag} THEN DELETE "
+        f"MERGE INTO {table} t USING {stage} s ON t.{q(key)} = s.{q(key)} "
+        f"WHEN MATCHED AND s.{q(deleted_flag)} THEN DELETE "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED AND NOT s.{deleted_flag} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        f"WHEN NOT MATCHED AND NOT s.{q(deleted_flag)} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
 
@@ -144,7 +162,9 @@ def jdbc_upsert_sink(
     itself is unit-tested via :func:`upsert_statement`."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        stage = f"_stage_{table}_{batch_id}"
+        # no leading underscore: several databases (Derby, Oracle) reject
+        # unquoted identifiers that don't start with a letter
+        stage = f"stage_{table}_{batch_id}"
         (
             batch.write.format("jdbc")
             .option("url", url)
@@ -158,9 +178,7 @@ def jdbc_upsert_sink(
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
             stmt = conn.createStatement()
-            stmt.execute(
-                upsert_statement(table, batch.columns, key).replace("_stage", stage)
-            )
+            stmt.execute(upsert_statement(table, batch.columns, key, stage=stage))
             stmt.execute(f"DROP TABLE {stage}")
         finally:
             conn.close()

@@ -66,18 +66,23 @@ def test_jdbc_snapshot_marks_read_events(spark, sf_dir):
 
 def test_jdbc_incremental_poll_advances_watermark(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # poll() emits the predicate in JDBC dialect (ANSI-double-quoted
+    # identifiers); a Spark-side injected loader translates to backticks
+    def spark_side(pred: str, bound: int):
+        return orders.filter(pred.replace('"', "`")).filter(f"o_orderkey <= {bound}")
+
     src = JdbcIncrementalSource(
         spark,
         watermark_col="o_orderkey",
         state_path=str(tmp_path / "wm.json"),
-        load_fn=lambda pred: orders.filter(pred).filter("o_orderkey <= 1000"),
+        load_fn=lambda pred: spark_side(pred, 1000),
     )
     first = src.poll().count()
     assert first > 0
     # second poll above the same bound: nothing new
     assert src.poll().count() == 0
     # widen the bound: only the delta arrives
-    src.load_fn = lambda pred: orders.filter(pred).filter("o_orderkey <= 2000")
+    src.load_fn = lambda pred: spark_side(pred, 2000)
     delta = src.poll()
     assert delta.count() > 0
     assert delta.agg(F.min("o_orderkey")).collect()[0][0] > 1000
@@ -86,9 +91,9 @@ def test_jdbc_incremental_poll_advances_watermark(spark, sf_dir, tmp_path):
 def test_upsert_statement_merge_shape():
     sql = upsert_statement("products", ["id", "name", "price", "__deleted"], "id")
     assert "MERGE INTO products t" in sql
-    assert "WHEN MATCHED AND s.__deleted THEN DELETE" in sql
-    assert "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.price = s.price" in sql
-    assert "WHEN NOT MATCHED AND NOT s.__deleted THEN INSERT (id, name, price)" in sql
+    assert 'WHEN MATCHED AND s."__deleted" THEN DELETE' in sql
+    assert 'WHEN MATCHED THEN UPDATE SET t."name" = s."name", t."price" = s."price"' in sql
+    assert 'WHEN NOT MATCHED AND NOT s."__deleted" THEN INSERT ("id", "name", "price")' in sql
 
 
 def test_es_bulk_payload_upsert_and_delete(spark):
