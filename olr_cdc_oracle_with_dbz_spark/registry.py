@@ -80,87 +80,78 @@ def register(
 
 #: Names pinned to the FRONT of the driver-facing ``queries()`` dict, in this
 #: order. The grading driver checks a bounded (~50-query) prefix of the
-#: registry per round, so the prefix is curated. As of round 4 all 103
-#: oracle-backed queries are union-green across rounds with zero ever-red.
-#: Round 5 rotates the window (round-4 verdict item 8): (a) canaries for
-#: code touched THIS round — the sign-LSH rebuild with its new 0.60 floor,
-#: the IVF spherical Lloyd mean, the l2e lazy checkpoint, and the
-#: compact_latest presence-guard (q52/q53 ride that path) — then (b) the 53
-#: queries absent from the round-4 window (scans, project/filter, joins,
-#: aggregates, windows, setops, subqueries, l7/l8/m1/m2), so they get
-#: re-confirmed on current code. The tail (positions past the window) holds
-#: the most-static r1-green scans. Everything not listed follows in
-#: registration order — still fully registered, benched, and parity-tested
-#: in-repo.
+#: registry per round, so the prefix is curated. As of round 5 all 103
+#: oracle-backed queries are union-green across rounds with zero ever-red;
+#: r5's window was 50/50 green (second consecutive fully-green round).
+#: Round 6 closes the verification tail (round-5 verdict item 1): the 9
+#: queries whose last driver row dates to r1–r3 — they sat past the r5
+#: window edge — go FIRST (q01–q04 scan/round-trip family, l7, l8, m1, m2),
+#: followed by canaries for code touched THIS round (q27 covariance
+#: re-render, q42/q47 re-pin, m2's new BMP/PPM decode rides the m2 row) and
+#: the standing q22/q52 canaries. The remainder of the window re-confirms
+#: the r4-green families (scalar functions, UDFs, CDC batch, streaming
+#: batch-equiv, dedup/similarity/text) that r5's rotation displaced.
 DRIVER_FIRST: tuple[str, ...] = (
-    # canaries for round-5 code changes
-    "l4v_ann_lsh_recall",
-    "l4cv_ann_ivf_recall",
-    "l2e_dup_clusters",
-    "q52_upsert_compaction",
-    "q53_snapshot_incremental",
-    "q22_hash_agg_tpch_q1",
-    # absent from the round-4 window: project/filter
-    "q05_arith_projection",
-    "q06_filter_bool",
-    "q07_between_date",
-    "q08_in_list",
-    "q09_like_regex",
-    "q10_null_semantics",
-    "q11_case_when",
-    "q12_cast_matrix",
-    # joins
-    "q13_inner_join",
-    "q14_broadcast_join",
-    "q15_outer_joins",
-    "q15b_full_outer",
-    "q16_semi_join",
-    "q17_anti_join",
-    "q18_range_join",
-    "q19_cross_join",
-    "q20_multiway_join",
-    "q21_asof_join",
-    "q21b_funnel",
-    "q21c_retention",
-    # aggregates
-    "q24_global_agg",
-    "q25_rollup",
-    "q25b_cube",
-    "q25c_grouping_sets",
-    "q26_having",
-    "q27_stats_aggs",
-    "q28_percentile",
-    "q29_distinct_exact_vs_approx",
-    "q29b_approx_aggs",
-    "q30_filtered_agg",
-    # windows / sort / limit
-    "q31_ranking",
-    "q31b_distribution_ranks",
-    "q32_lag_lead",
-    "q33_frames",
-    "q34_topk_per_group",
-    "q35_multikey_sort",
-    "q36_limit_topk",
-    # set ops
-    "q37_union",
-    "q38_intersect",
-    "q38b_except",
-    "q39_distinct",
-    # subqueries
-    "q47_scalar_subquery",
-    "q48_exists_subquery",
-    "q48b_in_subquery",
-    # LLM/multimodal entries absent from the r4 window
-    "l7_fingerprint",
-    "l8_curation_pipeline",
-    "m1_multimodal_meta",
-    "m2_multimodal_features",
-    # most-static r1-green scans — may fall past the window edge
+    # the 9 never-rechecked-since-r3 queries — verdict r5 item 1
     "q01_scan_full",
     "q02_scan_pruned",
     "q03_csv_roundtrip",
     "q03b_json_roundtrip",
     "q04_parquet_roundtrip",
+    "l7_fingerprint",
+    "l8_curation_pipeline",
+    "m1_multimodal_meta",
+    "m2_multimodal_features",
+    # canaries for round-6 code changes
+    "q27_stats_aggs",
+    "q42_math_funcs",
+    "q47_scalar_subquery",
+    # standing canaries
+    "q22_hash_agg_tpch_q1",
+    "q52_upsert_compaction",
+    # r4-green families displaced by the r5 rotation: scalar functions
+    "q40_string_funcs",
+    "q41_datetime_funcs",
+    "q43_array_funcs",
+    "q43b_explode",
+    "q43c_higher_order",
+    "q44_struct_map",
+    "q44b_pivot",
+    "q44c_unpivot",
+    "q45_json_funcs",
+    "q45b_from_to_json",
+    "q46_hash_misc",
+    # UDF surface
+    "u1_python_udf",
+    "u2_pandas_udf",
+    "u3_apply_in_pandas",
+    "u4_udaf_weighted_avg",
+    "u5_tokenize_udtf",
+    # CDC batch family
+    "q50_envelope_parse",
+    "q50b_envelope_evolved",
+    "q51_unwrap",
+    "q53_snapshot_incremental",
+    "q54_changelog_stats",
+    # streaming batch-equivalents
+    "s2_tumbling_window",
+    "s3_sliding_window",
+    "s4_session_window",
+    # LLM-pipeline exact + gated approx
+    "l1_exact_dedup",
+    "l2v_minhash_recall",
+    "l2b_ngram_jaccard",
+    "l2c_simhash",
+    "l2e_dup_clusters",
+    "l3_cosine_topk",
+    "l4v_ann_lsh_recall",
+    "l4cv_ann_ivf_recall",
+    "l5_text_stats",
+    "l5c_quality_score",
+    "l6_tfidf",
+    "l9_train_split",
+    # subquery/CTE family member not re-checked since r4
+    "q49_cte",
 )
 
 _loaded = False
