@@ -22,7 +22,9 @@ from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     dsum,
     ordered,
     render,
+    render_fixed,
     sql_avg6,
+    sql_render_fixed,
     sql_sum6,
     sum6,
 )
@@ -276,47 +278,70 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag)
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS nx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS ny,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS nc,
+             CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS den
+      FROM m)
     SELECT l_returnflag,
-           ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_price,
-           ROUND(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS std_price,
-           ROUND((sxy - sx*sy/n) / (n - 1), 6) AS covar_pq,
-           ROUND((sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 6) AS corr_pq
-    FROM m ORDER BY l_returnflag
+           {sql_render_fixed("nx / den / 10000.0", 4)} AS var_price,
+           {sql_render_fixed("sqrt(nx / den) / 100.0", 6)} AS std_price,
+           {sql_render_fixed("nc / den / 100.0", 6)} AS covar_pq,
+           {sql_render_fixed("nc / sqrt(nx * ny)", 6)} AS corr_pq
+    FROM d ORDER BY l_returnflag
     """,
 )
 def q27_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/var/corr/covar computed from exact decimal moments.
+    """stddev/var/corr/covar from exact integer moments (cents fixed point).
 
-    Native double accumulators are order-dependent across engines; the
-    two-pass moment formulation over exact sums is deterministic and still
-    a single Spark aggregate (all five moments in one pass).
+    Native double accumulators are order-dependent across engines, and
+    even exact DECIMAL(38,12) sums diverge at sf1: DuckDB renders a
+    scale-12 decimal to double via int128→double÷10¹² (two roundings)
+    while the JVM rounds once, and the sf1 covariance sits 1.5e-10 from a
+    6-dp half boundary — unreachable by any double pipeline. Instead,
+    every moment is an exact SCALE-0 integer (price in cents, quantity
+    integral — the testdata is 2-dp/0-dp by construction), the
+    numerators n·sxx−sx² / n·syy−sy² / n·sxy−sx·sy are formed exactly in
+    the integer domain (hugeint in DuckDB, decimal(38,0) here), and ONE
+    correctly-rounded cast to double feeds an identical IEEE expression
+    tree in both engines — bit-identical outputs, boundary or not
+    (canonical.py rule 7; BASELINE.md sf-trend note 3).
     """
     li = Catalog(spark, sf_dir).lineitem
-    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    xc = F.round(F.col("l_extendedprice") * 100).cast("long")  # cents, exact
+    yl = F.round(F.col("l_quantity")).cast("long")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(x).cast("double").alias("sx"),
-        dsum(x * x).cast("double").alias("sxx"),
-        dsum(y).cast("double").alias("sy"),
-        dsum(y * y).cast("double").alias("syy"),
-        dsum(x * y).cast("double").alias("sxy"),
+        F.sum(xc).alias("sx"),
+        # sxx ≈ 1e20 at sf1 — exceeds long; carry in decimal(38,0), still exact
+        F.sum((xc * xc).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(yl).alias("sy"),
+        F.sum(yl * yl).alias("syy"),
+        F.sum(xc * yl).alias("sxy"),
     )
-    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact integer carrier
+    n = F.col("n")
+    nx = (dec(n) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast("double")
+    ny = (dec(n) * dec(F.col("syy")) - dec(F.col("sy")) * dec(F.col("sy"))).cast("double")
+    nc = (dec(n) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))).cast("double")
+    den = n.cast("double") * (n - 1).cast("double")
     return m.select(
         "l_returnflag",
-        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_price"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_price"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_pq"),
-        F.round(
-            (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
-            6,
-        ).alias("corr_pq"),
+        render_fixed(nx / den / 10000.0, 4).alias("var_price"),
+        render_fixed(F.sqrt(nx / den) / 100.0, 6).alias("std_price"),
+        render_fixed(nc / den / 100.0, 6).alias("covar_pq"),
+        render_fixed(nc / F.sqrt(nx * ny), 6).alias("corr_pq"),
     ).transform(ordered, "l_returnflag")
 
 

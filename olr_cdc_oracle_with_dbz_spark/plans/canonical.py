@@ -77,6 +77,28 @@ def avg6(col: Column | str) -> Column:
     return F.round(F.sum(_micros(c)).cast("double") / 1_000_000 / F.count(c), 6)
 
 
+def render_fixed(col: Column, scale: int = 6) -> Column:
+    """Rule-7 rendering for a computed DOUBLE that can exceed ~1e9.
+
+    ``ROUND(double, k)`` re-rounds inside each engine's own kernel and can
+    differ by 1 ulp at large magnitude (the k-dp decimal is not a
+    representable double). This renders via exact fixed point instead:
+    both engines compute the identical IEEE product ``x·10ᵏ``, round it to
+    an integer (half-away-from-zero in both), and perform one identical
+    long→double division. Valid while ``|x|·10ᵏ < 2⁵³`` — e.g. |x| < 9e8
+    at k=6 — which holds for variance-class statistics (scale-invariant
+    in row count) at any SF.
+    """
+    p = float(10**scale)
+    return F.round(col * p).cast("long").cast("double") / p
+
+
+def sql_render_fixed(expr: str, scale: int = 6) -> str:
+    """DuckDB fragment matching :func:`render_fixed`."""
+    p = 10**scale
+    return f"CAST(CAST(ROUND(({expr}) * {p}) AS BIGINT) AS DOUBLE) / {p}"
+
+
 def sql_sum6(expr: str) -> str:
     """DuckDB fragment matching :func:`sum6`."""
     return (
