@@ -92,17 +92,33 @@ class JdbcIncrementalSource:
         self.state_path = state_path
         self.load_fn = load_fn
 
-    def _read_state(self) -> int | None:
+    def _read_state(self) -> int | float | str | None:
         if not os.path.exists(self.state_path):
             return None
         with open(self.state_path) as f:
             return json.load(f)["watermark"]
 
-    def _write_state(self, wm: int) -> None:
+    def _write_state(self, wm: int | float | str) -> None:
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"watermark": wm, "col": self.watermark_col}, f)
         os.replace(tmp, self.state_path)  # atomic, like the checkpoint swap
+
+    @staticmethod
+    def _render_literal(wm: int | float | str) -> str:
+        """SQL literal for the pushed watermark predicate, by type.
+
+        Numerics render raw; everything else (string and timestamp
+        watermarks — ``mode=timestamp`` in kafka-connect-jdbc terms)
+        renders as an escaped single-quoted literal, which the standard
+        and the tested dialect (Derby, test_jdbc_derby.py) implicitly
+        compare against VARCHAR/TIMESTAMP columns. A dialect that
+        requires an explicit TIMESTAMP literal form can wrap ``load_fn``
+        and rewrite the predicate text.
+        """
+        if isinstance(wm, bool) or not isinstance(wm, (int, float)):
+            return "'" + str(wm).replace("'", "''") + "'"
+        return repr(wm)
 
     def poll(self) -> DataFrame:
         """One incremental batch: rows above the stored watermark.
@@ -111,13 +127,25 @@ class JdbcIncrementalSource:
         unquoted identifiers get case-folded by the database and miss
         case-exact column names (kafka-connect-jdbc likewise quotes by
         default); verified against embedded Derby in test_jdbc_derby.py.
+        ``watermark_col`` must therefore be the STORED (case-exact)
+        identifier: a table created with unquoted DDL stores the
+        database's case-folded form (Derby/Oracle upper, Postgres lower),
+        and that folded form is what must be passed here.
         """
         wm = self._read_state()
-        pred = f'"{self.watermark_col}" > {wm}' if wm is not None else "1=1"
+        pred = (
+            f'"{self.watermark_col}" > {self._render_literal(wm)}'
+            if wm is not None
+            else "1=1"
+        )
         batch = self.load_fn(pred)
         new_wm = batch.agg(F.max(self.watermark_col)).collect()[0][0]
         if new_wm is not None:
-            self._write_state(int(new_wm))
+            # datetime.datetime (timestamp watermark) round-trips through
+            # str(); ints/floats/strs store natively
+            self._write_state(
+                new_wm if isinstance(new_wm, (int, float, str)) else str(new_wm)
+            )
         return batch
 
 
@@ -163,8 +191,12 @@ def jdbc_upsert_sink(
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         # no leading underscore: several databases (Derby, Oracle) reject
-        # unquoted identifiers that don't start with a letter
-        stage = f"stage_{table}_{batch_id}"
+        # unquoted identifiers that don't start with a letter. The target
+        # name is sanitized into the label: a schema-qualified target like
+        # app.products would otherwise put a dot inside the unquoted stage
+        # identifier.
+        safe = "".join(c if c.isalnum() else "_" for c in table)
+        stage = f"stage_{safe}_{batch_id}"
         (
             batch.write.format("jdbc")
             .option("url", url)

@@ -81,6 +81,61 @@ def test_jdbc_incremental_poll_pushes_predicate(spark, derby_url, tmp_path):
     assert src.poll().count() == 0  # no new rows, watermark held
 
 
+def test_jdbc_incremental_poll_timestamp_watermark(spark, derby_url, tmp_path):
+    """R14 ``mode=timestamp``: a TIMESTAMP watermark column renders as a
+    quoted literal in the pushed predicate and still compares correctly
+    in the database (ADVICE r5: the raw interpolation was numeric-only)."""
+    _exec(
+        spark,
+        derby_url,
+        'CREATE TABLE poll_ts ("updated_at" TIMESTAMP, "v" VARCHAR(8))',
+        """INSERT INTO poll_ts VALUES
+           (TIMESTAMP('2026-01-01 10:00:00'), 'a'),
+           (TIMESTAMP('2026-01-01 11:00:00'), 'b')""",
+    )
+
+    def load(pred: str):
+        return (
+            spark.read.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", f"(SELECT * FROM poll_ts WHERE {pred}) s")
+            .load()
+        )
+
+    src = JdbcIncrementalSource(spark, "updated_at", str(tmp_path / "wmts.json"), load)
+    assert {r["v"] for r in src.poll().collect()} == {"a", "b"}
+    _exec(
+        spark,
+        derby_url,
+        """INSERT INTO poll_ts VALUES (TIMESTAMP('2026-01-01 12:00:00'), 'c')""",
+    )
+    assert {r["v"] for r in src.poll().collect()} == {"c"}  # delta only
+    assert src.poll().count() == 0
+
+
+def test_jdbc_upsert_sink_schema_qualified_stage_name(spark, derby_url):
+    """R11 (ADVICE r5): a schema-qualified target must not leak its dot
+    into the unquoted stage-table identifier."""
+    _exec(
+        spark,
+        derby_url,
+        "CREATE SCHEMA appx",
+        'CREATE TABLE appx.qualified ("id" BIGINT PRIMARY KEY, "name" VARCHAR(32))',
+    )
+    sink = jdbc_upsert_sink(derby_url, "appx.qualified", "id")
+    b = spark.createDataFrame(
+        [(1, "thing", False)], "id bigint, name string, __deleted boolean"
+    )
+    sink(b, 7)
+    out = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "appx.qualified")
+        .load()
+    )
+    assert [(r["id"], r["name"]) for r in out.collect()] == [(1, "thing")]
+
+
 def test_jdbc_upsert_sink_merge_end_to_end(spark, derby_url):
     """R11: staged MERGE against a live database — insert, update, and
     delete propagation across two micro-batches."""

@@ -9,6 +9,8 @@ of these is invisible at test scale and catastrophic at cluster scale.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -214,9 +216,12 @@ def test_range_join_is_banded_equi_join(spark, sf_dir, reg):
     plan = _plan(reg["q18_range_join"].spark_fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the bucket column participates in the join key (hashpartitioning or
-    # join condition), not only in a post-join filter
-    assert "_b" in plan
+    # the bucket column must participate in the JOIN KEY list itself —
+    # "_b in plan" alone is vacuously true when the bucket ends up only in
+    # a post-join filter, the exact regression this test guards against
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*_b#", plan
+    ), plan
 
 
 def test_simhash_single_shuffle(spark, sf_dir, reg):
