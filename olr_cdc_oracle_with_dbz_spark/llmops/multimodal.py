@@ -5,12 +5,15 @@ Images/audio/video are opaque ``binary`` columns + a typed metadata struct
 the bytes inline (small assets) or a URI (large assets), and the engine
 moves them through Arrow batches without interpreting them.
 
-The decode/resize/frame-sample kernels are STUBS behind a clearly marked
-seam (no image/audio libs in this container): ``decode_fake`` is the
-deterministic stand-in used by tests; ``decode_real`` raises
-NotImplementedError until a codec library is wired in. The Spark-side
-plumbing — schema, partitioning, mapInPandas batch shape — is real and
-exact-checked where SQL can reach it (byte lengths, metadata projection).
+Decode is REAL for the formats a pure-numpy parser can cover —
+uncompressed 24-bit BMP and binary P6 PPM (``decode_image``), with a PPM
+re-encoder for the resize path — and remains an honest
+NotImplementedError seam for compressed image/audio/video formats (no
+PIL/ffmpeg/soundfile in this container). ``decode_fake`` is the
+deterministic stand-in plumbing tests use for arbitrary payloads. The
+Spark-side plumbing — schema, partitioning, mapInPandas batch shape — is
+real and exact-checked where SQL can reach it (byte lengths, metadata
+projection).
 """
 
 from __future__ import annotations
@@ -82,11 +85,98 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEATURE_DIM = 8
 
 
-def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """Decode a real media asset → feature array. NOT WIRED IN THIS ENV."""
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of an uncompressed 24-bit BI_RGB BMP → (H,W,3) RGB."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB BMP is wired (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of a binary P6 PPM (maxval ≤ 255) → (H,W,3) RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — tokens separated by whitespace,
+    # with '#' comments running to end-of-line; one whitespace byte then raw
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not wired")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return raw.reshape(height, width, 3).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H,W,3) uint8 → binary P6 PPM bytes (the re-encode half of resize)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Decode a supported image payload → (H,W,3) uint8 RGB array.
+
+    Pure-numpy codecs for the two formats that need no external library:
+    uncompressed 24-bit BMP and binary P6 PPM. Compressed formats
+    (PNG/JPEG) and audio/video stay behind the NotImplementedError seam
+    until a codec library (PIL/ffmpeg) is available in the environment.
+    """
+    if mime in ("image/bmp", "image/x-ms-bmp") or payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if mime in ("image/x-portable-pixmap", "image/ppm") or payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/soundfile) are not available in this "
-        "container; use decode_fake for plumbing tests"
+        f"codec for {mime!r} not wired in this environment (PIL/ffmpeg/"
+        "soundfile unavailable); BMP and P6 PPM decode natively, "
+        "decode_fake covers plumbing tests for other formats"
+    )
+
+
+def decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Decode a real media asset → feature array (same 8-dim contract as
+    :func:`decode_fake`, computed over decoded PIXELS not raw bytes)."""
+    px = decode_image(payload, mime).reshape(-1).astype(np.float64)
+    return np.array(
+        [
+            float(px.size),
+            float(px.sum() % 997),
+            float(px.mean().round(6)),
+            float(px.min()),
+            float(px.max()),
+            float(len(np.unique(px))),
+            float(int(px[0])),
+            float(int(px[-1])),
+        ]
     )
 
 
@@ -172,11 +262,12 @@ def resize_assets(
 ) -> DataFrame:
     """Resize kernel through the decode seam (mapInPandas, Arrow-batched).
 
-    Real implementation decodes → resamples → re-encodes (PIL/ffmpeg —
-    not in this container, gated behind ``use_real_codec``); the fake
-    codec nearest-neighbor-samples the payload bytes to exactly
-    ``width*height`` bytes, so output sizing, metadata rewrite, and batch
-    shape — the Spark-side contract — are fully exercised.
+    With ``use_real_codec`` the payload is decoded (BMP/P6 PPM, pure
+    numpy), nearest-neighbor-resampled to ``width×height`` pixels, and
+    re-encoded as P6 PPM; without it, the fake codec nearest-neighbor
+    samples the raw payload bytes to exactly ``width*height`` bytes. Both
+    paths exercise the same Spark contract — output sizing, metadata
+    rewrite, Arrow batch shape.
     """
     n_out = width * height
 
@@ -185,7 +276,11 @@ def resize_assets(
             out_payloads = []
             for p in pdf["asset"]:
                 if use_real_codec:
-                    decode_real(p, "image/*")  # raises until codecs wired
+                    px = decode_image(p, "image/*")
+                    yi = np.linspace(0, px.shape[0] - 1, height).astype(np.int64)
+                    xi = np.linspace(0, px.shape[1] - 1, width).astype(np.int64)
+                    out_payloads.append(encode_ppm(px[yi][:, xi]))
+                    continue
                 buf = np.frombuffer(p, dtype=np.uint8)
                 if buf.size == 0:
                     buf = np.zeros(1, dtype=np.uint8)
@@ -198,7 +293,9 @@ def resize_assets(
     flat = assets.select("doc_id", "asset")
     resized = flat.mapInPandas(run, "doc_id bigint, asset binary")
     meta = F.struct(
-        F.lit("image/raw").alias("mime"),
+        F.lit("image/x-portable-pixmap" if use_real_codec else "image/raw").alias(
+            "mime"
+        ),
         F.length("asset").cast("long").alias("n_bytes"),
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),

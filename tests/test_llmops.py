@@ -118,6 +118,78 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert len(approx_rows) == len(exact)
 
 
+def _write_bmp24(px) -> bytes:
+    """Independent reference BMP writer (bottom-up 24-bit BI_RGB, padded
+    rows) so the decoder test doesn't trust the code under test."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR on disk
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + dib + body)
+
+
+def test_multimodal_real_decode_bmp_ppm():
+    """The wired pure-numpy codecs recover exact pixels from BMP and P6
+    PPM payloads; unsupported formats keep the NotImplementedError seam."""
+    import numpy as np
+
+    from olr_cdc_oracle_with_dbz_spark.llmops import multimodal as M
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd width → row pad
+    assert np.array_equal(M.decode_image(_write_bmp24(px), "image/bmp"), px)
+
+    ppm = b"P6\n# a comment\n3 5\n255\n" + px.tobytes()
+    assert np.array_equal(M.decode_image(ppm, "image/x-portable-pixmap"), px)
+
+    # encode → decode round-trip
+    assert np.array_equal(M.decode_image(M.encode_ppm(px), "image/ppm"), px)
+
+    # decode_real features come from PIXELS, identical for both encodings
+    f_bmp = M.decode_real(_write_bmp24(px), "image/bmp")
+    f_ppm = M.decode_real(ppm, "image/x-portable-pixmap")
+    assert list(f_bmp) == list(f_ppm) and len(f_bmp) == 8
+    assert f_bmp[0] == px.size and f_bmp[3] == px.min() and f_bmp[4] == px.max()
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n", "image/png")
+
+
+def test_multimodal_real_codec_resize(spark):
+    """use_real_codec=True drives decode→resample→re-encode through the
+    distributed mapInPandas path; outputs are valid P6 with exact pixels."""
+    import numpy as np
+
+    from olr_cdc_oracle_with_dbz_spark.llmops import multimodal as M
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8) for i in range(4)}
+    assets = spark.createDataFrame(
+        [(i, bytearray(_write_bmp24(p)), ("image/bmp", len(p), 4, 6)) for i, p in imgs.items()],
+        f"doc_id bigint, asset binary, meta struct<{M.ASSET_META_SCHEMA}>",
+    )
+    out = M.resize_assets(assets, width=2, height=3, use_real_codec=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, px in imgs.items():
+        got = M.decode_image(bytes(rows[i]["asset"]), "image/ppm")
+        yi = np.linspace(0, 5, 3).astype(np.int64)
+        xi = np.linspace(0, 3, 2).astype(np.int64)
+        assert np.array_equal(got, px[yi][:, xi])
+        assert rows[i]["meta"]["mime"] == "image/x-portable-pixmap"
+        assert rows[i]["meta"]["width"] == 2 and rows[i]["meta"]["height"] == 3
+
+
 def test_multimodal_resize_contract(spark, sf_dir):
     """Resize seam: every output payload is exactly width*height bytes,
     metadata rewritten to the target shape, deterministic across runs."""
