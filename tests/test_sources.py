@@ -112,6 +112,116 @@ def test_es_bulk_payload_upsert_and_delete(spark):
             assert act["_source"]["id"] == r._id
 
 
+def test_es_sink_bulk_posts_to_mock_server(spark):
+    """R12 transport closed: the sink bulk-POSTs NDJSON to /_bulk from
+    executor workers; a stdlib http.server mock asserts the payload —
+    id-keyed index actions with sources, delete actions for tombstones."""
+    import http.server
+    import json as _json
+    import threading
+
+    from olr_cdc_oracle_with_dbz_spark.sources.elasticsearch import es_sink
+
+    received: list[tuple[str, str, bytes]] = []
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.append(
+                    (self.path, self.headers.get("Content-Type", ""), body)
+                )
+            resp = _json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):  # silence per-request stderr lines
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        batch = spark.createDataFrame(
+            [(1, "widget", False), (2, "gadget", False), (3, None, True)],
+            "id bigint, name string, __deleted boolean",
+        ).coalesce(2)
+        sink = es_sink("products", "id", hosts=f"127.0.0.1:{srv.server_port}")
+        sink(batch, batch_id=1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert received, "no bulk POST reached the mock server"
+    assert all(path == "/_bulk" for path, _, _ in received)
+    assert all(ct == "application/x-ndjson" for _, ct, _ in received)
+    actions = []
+    for _, _, body in received:
+        text = body.decode()
+        assert text.endswith("\n")  # the bulk API requires a trailing newline
+        lines = text.strip().split("\n")
+        i = 0
+        while i < len(lines):
+            act = _json.loads(lines[i])
+            if "index" in act:
+                actions.append(("index", act["index"]["_id"], _json.loads(lines[i + 1])))
+                i += 2
+            else:
+                actions.append(("delete", act["delete"]["_id"], None))
+                i += 1
+    by_id = {(kind, _id): src for kind, _id, src in actions}
+    assert ("index", "1") in by_id and by_id[("index", "1")]["name"] == "widget"
+    assert ("index", "2") in by_id and by_id[("index", "2")]["name"] == "gadget"
+    assert ("delete", "3") in by_id  # tombstone propagated as delete action
+    assert len(actions) == 3
+
+
+def test_es_sink_raises_on_bulk_errors(spark):
+    """A response with errors=true must fail the batch (streaming retry)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from olr_cdc_oracle_with_dbz_spark.sources.elasticsearch import es_sink
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            resp = _json.dumps(
+                {
+                    "errors": True,
+                    "items": [
+                        {"index": {"_id": "1", "status": 429, "error": "rejected"}}
+                    ],
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        batch = spark.createDataFrame(
+            [(1, "widget", False)], "id bigint, name string, __deleted boolean"
+        ).coalesce(1)
+        sink = es_sink("products", "id", hosts=f"127.0.0.1:{srv.server_port}")
+        with pytest.raises(Exception, match="(?i)bulk|errors|429|Python worker"):
+            sink(batch, batch_id=1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_kafka_load_requires_connector_jar(spark):
     # documents the runtime requirement rather than silently passing
     from olr_cdc_oracle_with_dbz_spark.sources.kafka import read_kafka_cdc
