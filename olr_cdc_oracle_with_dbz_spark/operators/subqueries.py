@@ -18,9 +18,11 @@ from olr_cdc_oracle_with_dbz_spark.registry import register
 
 _Q47 = """
 SELECT o_orderkey, o_totalprice
-FROM orders
-WHERE CAST(o_totalprice AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM orders)
-      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)
+FROM orders CROSS JOIN (
+  SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+  FROM orders
+) t
+WHERE CAST(o_totalprice AS DECIMAL(18,6)) * t.n > t.s
 ORDER BY o_orderkey
 """
 
@@ -77,7 +79,14 @@ def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
 
 @register("q47_scalar_subquery", oracle=_Q47)
 def q47_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above the (exact) average total price — scalar subquery."""
+    """Orders above the (exact) average total price.
+
+    Written as ONE single-row aggregate cross-joined in (a broadcast of
+    one row) rather than two scalar subqueries: Catalyst plans separate
+    ``(SELECT COUNT(*))`` / ``(SELECT SUM(..))`` subqueries as two full
+    scans of orders (r6 plan audit — MergeScalarSubqueries didn't fire),
+    so the merged form reads the table twice total instead of three times.
+    """
     return _sql(spark, sf_dir, _Q47)
 
 

@@ -224,6 +224,25 @@ def test_range_join_is_banded_equi_join(spark, sf_dir, reg):
     ), plan
 
 
+def test_math_funcs_single_pass(spark, sf_dir, reg):
+    """q42: scan → project → one range exchange for the presentation sort.
+    Anything more (a second scan, an extra exchange, a Python eval node)
+    is a plan regression — pinned after the r5→r6 drift investigation
+    concluded the timing swing was machine noise, not shape."""
+    plan = _plan(reg["q42_math_funcs"].spark_fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_scalar_subquery_two_scans(spark, sf_dir, reg):
+    """q47: the count+sum threshold must come from ONE merged single-row
+    aggregate (orders scanned twice total: aggregate + filter). Separate
+    scalar subqueries plan three scans — the r6 rewrite this pins."""
+    plan = _plan(reg["q47_scalar_subquery"].spark_fn(spark, sf_dir))
+    assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
+
+
 def test_simhash_single_shuffle(spark, sf_dir, reg):
     """l2c: per-occurrence signed bit sums need exactly ONE aggregation
     exchange (groupBy doc_id); a second exchange means the fused-out
