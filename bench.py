@@ -34,7 +34,25 @@ def main() -> None:
     from olr_cdc_oracle_with_dbz_spark.registry import load_all
     from olr_cdc_oracle_with_dbz_spark.session import get_spark
 
-    spark = get_spark("olr-cdc-bench", **{"spark.ui.showConsoleProgress": "false"})
+    # Local-bench scheduling confs (round-6 floor work). The fixed
+    # ~0.25 s/query at sf0.1 is per-JOB/per-TASK scheduling, not dataflow:
+    # AQE turns every exchange into a separately scheduled stage-job
+    # (3-4 jobs for a sub-second query), and 16 reduce partitions × a UI
+    # listener per task event add launch overhead that dominates MB-scale
+    # shuffles. On the cluster the engine default (session.py) keeps AQE ON
+    # — runtime re-planning is the right trade at TB scale — but for the
+    # known-tiny local bench the re-plan latency buys nothing. Paired
+    # interleaved A/B (base↔tuned, 2 rounds): 30.4→29.4 s and 35.2→31.4 s
+    # exact-class. Overridable via SPARK_GRAFT_CONF.
+    spark = get_spark(
+        "olr-cdc-bench",
+        **{
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+            "spark.ui.enabled": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_all()

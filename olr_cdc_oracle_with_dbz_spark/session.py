@@ -73,7 +73,11 @@ def get_spark(app_name: str = "olr-cdc-spark-engine", **extra_conf: str) -> Spar
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # If we attached to a pre-existing session (driver-owned), still pin the
-    # confs that are runtime-settable and correctness-critical.
+    # confs that are runtime-settable and correctness-critical. Explicit
+    # caller/env overrides win (e.g. a bench experiment turning AQE off).
+    merged = {**_DEFAULTS, **extra_conf, **env_conf}
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.enabled", merged["spark.sql.adaptive.enabled"]
+    )
     return spark

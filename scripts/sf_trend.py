@@ -44,6 +44,26 @@ TREND_QUERIES = [
     "l6_tfidf",
 ]
 
+# --full mode (round-6 verdict item 3): the entire exact class, so the sf1
+# ratio also speaks for the CDC/UDF/subquery families whose fixed floor
+# dominates at sf0.1. Exclusions are explicit and logged in the output:
+#   q19_cross_join — the oracle is a genuine cross join; at 10× rows its
+#     work grows 100× by definition. Replication makes it a different
+#     (quadratically larger) workload, not a scaled one.
+FULL_SKIP: dict[str, str] = {
+    "q19_cross_join": "cross-join workload grows quadratically under replication",
+}
+
+
+def full_exact_names() -> list[str]:
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    return [
+        n
+        for n, s in sorted(load_all().items())
+        if s.bench and s.oracle is not None and not s.approx and n not in FULL_SKIP
+    ]
+
 # DuckDB is timed TWO ways: .arrow() (columnar materialization — the
 # symmetric counterpart of Spark's noop write, the method the trend
 # conclusions use) and .fetchall() (the legacy BASELINE.md r2 method; at
@@ -72,9 +92,9 @@ print(json.dumps(out))
 """
 
 
-def duck_times(sf_dir: str) -> dict[str, float]:
+def duck_times(sf_dir: str, names: list[str]) -> dict[str, float]:
     res = subprocess.run(
-        [sys.executable, "-c", _DUCK_SNIPPET, sf_dir, json.dumps(TREND_QUERIES)],
+        [sys.executable, "-c", _DUCK_SNIPPET, sf_dir, json.dumps(names)],
         capture_output=True,
         text=True,
         check=True,
@@ -82,7 +102,7 @@ def duck_times(sf_dir: str) -> dict[str, float]:
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
-def spark_times(spark, sf_dir: str) -> dict[str, float]:
+def spark_times(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from olr_cdc_oracle_with_dbz_spark.registry import load_all
 
     reg = load_all()
@@ -96,7 +116,7 @@ def spark_times(spark, sf_dir: str) -> dict[str, float]:
         return time.perf_counter() - t0
 
     out = {}
-    for n in TREND_QUERIES:
+    for n in names:
         run_once(n)  # warm: plan + scan cache
         out[n] = round(statistics.median(run_once(n) for _ in range(3)), 4)
     return out
@@ -105,14 +125,19 @@ def spark_times(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     from olr_cdc_oracle_with_dbz_spark.session import get_spark
 
+    full = "--full" in sys.argv
+    names = full_exact_names() if full else TREND_QUERIES
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    result = {}
+    result = {"mode": "full-exact-class" if full else "trend-subset",
+              "n_queries": len(names)}
+    if full:
+        result["skipped"] = FULL_SKIP
     for label, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/tmp/sfscale/sf1")]:
-        eng = spark_times(spark, sf_dir)
-        duck = duck_times(sf_dir)
-        arrow = {n: duck[f"{n}:arrow"] for n in TREND_QUERIES}
-        legacy = {n: duck[f"{n}:fetchall"] for n in TREND_QUERIES}
+        eng = spark_times(spark, sf_dir, names)
+        duck = duck_times(sf_dir, names)
+        arrow = {n: duck[f"{n}:arrow"] for n in names}
+        legacy = {n: duck[f"{n}:fetchall"] for n in names}
         result[label] = {
             "engine": eng,
             "duckdb_arrow": arrow,
