@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
+    _micros,
     avg6,
-    dsum,
     ordered,
     render,
     render_fixed,
@@ -256,18 +256,26 @@ def q25c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, {sql_sum6('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(38,12))) > 150
+    HAVING SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) > 150000000
     ORDER BY l_orderkey
     """,
 )
 def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING — post-aggregation filter on an exact decimal sum."""
+    """HAVING — post-aggregation filter on an exact micro-unit long sum.
+
+    The whole-stage-codegen long-sum path (canonical ``_micros``), not a
+    decimal accumulator — same exactness, measured ~5× cheaper per the
+    r6 q27 rework; the HAVING compares in the same exact integer domain.
+    """
     li = Catalog(spark, sf_dir).lineitem
     return (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("_sq"))
-        .filter(F.col("_sq") > 150)
-        .select("l_orderkey", render(F.col("_sq")).alias("sum_qty"))
+        .agg(F.sum(_micros("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 150 * 1_000_000)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_sq").cast("double") / 1_000_000, 6).alias("sum_qty"),
+        )
         .transform(ordered, "l_orderkey", partitions=8)
     )
 
