@@ -104,6 +104,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "m2_multimodal_features",
     # canaries for round-6 code changes
     "q27_stats_aggs",
+    "q26_having",
     "q42_math_funcs",
     "q47_scalar_subquery",
     # standing canaries
@@ -150,8 +151,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "l5c_quality_score",
     "l6_tfidf",
     "l9_train_split",
-    # subquery/CTE family member not re-checked since r4
-    "q49_cte",
 )
 
 _loaded = False
