@@ -222,3 +222,122 @@ def test_explode_once_equals_explode_on_random_arrays(spark, rows):
     plain = df.select("k", F.explode(arr).alias("t"))
     once = explode_once(df, ["k"], arr, "t")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            # the magnitude band where ROUND(double, k) diverges by engine
+            st.floats(min_value=-1e12, max_value=1e12, allow_nan=False,
+                      allow_infinity=False, width=64),
+            # adversarial: values manufactured AT 6-dp half boundaries
+            st.integers(min_value=-10**15, max_value=10**15).map(
+                lambda n: (n + 0.5) / 1e6
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_render_fixed_engine_parity(spark, vals):
+    """canonical.render_fixed must be bit-identical to its SQL fragment in
+    DuckDB for ANY double — including values exactly on rounding-boundary
+    half points, the class that broke q27 at sf1 (rule 7)."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+        render_fixed,
+        sql_render_fixed,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(vals)), "x": vals}).astype(
+        {"i": "int64", "x": "float64"}
+    )
+    sdf = spark.createDataFrame(pdf, schema="i long, x double")
+    got = sdf.select(
+        "i",
+        render_fixed(F.col("x"), 6).alias("r6"),
+        render_fixed(F.col("x"), 4).alias("r4"),
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    _compare(
+        got,
+        con.sql(
+            f"SELECT i, {sql_render_fixed('x', 6)} AS r6, "
+            f"{sql_render_fixed('x', 4)} AS r4 FROM t"
+        ),
+    )
+
+
+@given(
+    qty=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.integers(min_value=1, max_value=10_500_000),  # price cents
+            st.integers(min_value=1, max_value=50),  # quantity
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_integer_moment_stats_parity(spark, qty):
+    """The q27 exact-integer-moment formulation (n·sxx−sx² in the integer
+    domain, one correctly-rounded cast to double, identical IEEE trees)
+    must agree bit-for-bit across engines on arbitrary integer data —
+    including single-member groups (guarded by n>1) and constant columns
+    (variance 0)."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+        render_fixed,
+        sql_render_fixed,
+    )
+
+    pdf = pd.DataFrame(qty, columns=["g", "xc", "y"]).astype("int64")
+    # ensure every group has ≥2 rows (the n−1 denominators)
+    pdf = pd.concat([pdf, pdf.assign(y=pdf["y"] + 1)], ignore_index=True)
+    sdf = spark.createDataFrame(pdf, schema="g long, xc long, y long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = sdf.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    nx = (dec(n) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast("double")
+    nc = (dec(n) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    den = n.cast("double") * (n - 1).cast("double")
+    got = m.select(
+        "g",
+        render_fixed(nx / den / 10000.0, 4).alias("var_x"),
+        render_fixed(nc / den / 100.0, 6).alias("cov_xy"),
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    _compare(
+        got,
+        con.sql(
+            f"""
+            WITH m AS (
+              SELECT g, COUNT(*) AS n, SUM(xc) AS sx, SUM(xc*xc) AS sxx,
+                     SUM(y) AS sy, SUM(y*y) AS syy, SUM(xc*y) AS sxy
+              FROM t GROUP BY g),
+            d AS (
+              SELECT g, CAST(n*sxx - sx*sx AS DOUBLE) AS nx,
+                     CAST(n*sxy - sx*sy AS DOUBLE) AS nc,
+                     CAST(n AS DOUBLE)*CAST(n-1 AS DOUBLE) AS den
+              FROM m)
+            SELECT g, {sql_render_fixed('nx / den / 10000.0', 4)} AS var_x,
+                   {sql_render_fixed('nc / den / 100.0', 6)} AS cov_xy
+            FROM d
+            """
+        ),
+    )
