@@ -243,6 +243,18 @@ def test_scalar_subquery_two_scans(spark, sf_dir, reg):
     assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
 
 
+def test_exact_stats_aggs_hash_only(spark, sf_dir, reg):
+    """q26/q27 (r6 integer-moment rework): one scan, hash aggregation
+    (long/decimal(38,0) sums stay in HashAggregate — a SortAggregate
+    means an accumulator type fell off the hash path), and exactly two
+    exchanges: the aggregation shuffle + the presentation range sort."""
+    for name in ("q27_stats_aggs", "q26_having"):
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1, name
+        assert "SortAggregate" not in plan, name
+        assert plan.count("Exchange") == 2, (name, plan.count("Exchange"))
+
+
 def test_simhash_single_shuffle(spark, sf_dir, reg):
     """l2c: per-occurrence signed bit sums need exactly ONE aggregation
     exchange (groupBy doc_id); a second exchange means the fused-out
