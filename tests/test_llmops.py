@@ -110,10 +110,11 @@ def test_ann_ivf_recall_vs_exact(spark):
     approx_rows = reg["l4c_ann_ivf"].spark_fn(spark, SF).collect()
     approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
-    # 4-of-16 probed cells ~ 25% of the corpus scanned; near-orthogonal
+    # 6-of-16 probed cells ~ 37% of the corpus scanned; near-orthogonal
     # random vectors make cells weakly informative, so the floor is the
     # probed fraction plus margin — regression guard, not a quality claim.
-    assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
+    # (Driver gate l4cv asserts the stronger 0.60 bound; measured .68–.76.)
+    assert recall >= 0.40, f"IVF recall collapsed: {recall:.3f}"
     # every query must still return a full top-k from its probed cells
     assert len(approx_rows) == len(exact)
 
