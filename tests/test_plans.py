@@ -207,6 +207,11 @@ def test_udf_explodes_evaluate_signature_once(spark, sf_dir, reg):
     assert plan.count("ArrowEvalPython") == 2  # one per side (query, corpus)
     plan_ivf = _plan(reg["l4c_ann_ivf"].spark_fn(spark, sf_dir))
     assert plan_ivf.count("ArrowEvalPython") == 2  # corpus cells + query probes
+    # rerank must be the cogrouped per-cell GEMM, not a candidate pair-join
+    # (r6: the pair-join + per-pair aggregate() dot made approx slower than
+    # exact brute force at sf0.1)
+    assert "FlatMapCoGroupsInPandas" in plan_ivf
+    assert "SortMergeJoin" not in plan_ivf and "BroadcastHashJoin" not in plan_ivf
 
 
 def test_range_join_is_banded_equi_join(spark, sf_dir, reg):
