@@ -234,8 +234,15 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    tri = explode_once(sharr, ["doc_id", "lang"], F.col("sh"), "shingle")
-    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # the per-doc shingle-set size is a FREE in-row expression on the
+    # deduped array (size(sh)); carrying it through the inverted-index join
+    # (+8 bytes per shingle row) deletes the old sizes branch — a groupBy
+    # exchange plus TWO doc-table joins after the pair aggregation. At
+    # 100 TB those joins re-shuffle the pair set against a corpus-sized
+    # table twice; the carried column costs one long per shingle instead.
+    tri = explode_once(
+        sharr, ["doc_id", "lang", F.size("sh").alias("sz")], F.col("sh"), "shingle"
+    )
     # SHUFFLE_HASH on the inverted-index self-join: the join key (shingle
     # hash) is high-cardinality, so sort-merge wastes two sorts and
     # broadcast is impossible at corpus scale — a shuffled hash join is
@@ -248,19 +255,22 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # sz_a/sz_b are functionally dependent on the doc ids — adding them
+        # to the grouping key leaves the group count unchanged and the
+        # partial aggregate shrinks the shuffle exactly as before
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -451,6 +461,14 @@ def propagation_partitions(n_edges: int, edges_per_task: int = 1_000_000) -> int
     return max(2, -(-n_edges // edges_per_task))
 
 
+#: Phase-2 threshold: an edge list at or under this row count is finished
+#: driver-side (16 bytes/edge → ≤ ~16 MB collected, far under any driver
+#: budget). The pair GRAPH is never corpus-sized — it is the output of the
+#: Jaccard threshold — so real corpora routinely land here even when the
+#: document table does not.
+_CC_LOCAL_MAX_EDGES = 1_000_000
+
+
 @register(
     "l2e_dup_clusters",
     oracle=f"""
@@ -471,18 +489,28 @@ def propagation_partitions(n_edges: int, edges_per_task: int = 1_000_000) -> int
     tags=("llm", "dedup"),
 )
 def l2e_dup_clusters(
-    spark: SparkSession, sf_dir: str, edges_per_task: int = 1_000_000
+    spark: SparkSession,
+    sf_dir: str,
+    edges_per_task: int = 1_000_000,
+    local_max_edges: int = _CC_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """L2e (EXACT): near-dup clusters = connected components of the
     trigram-Jaccard pair graph; cluster id = min doc_id in the component.
 
-    The dedup *decision* step: keep one representative per cluster. An
-    iterative min-label propagation over DataFrames (the simplified
-    large-star algorithm): each round, every node takes the minimum label
-    among itself and its neighbors; converges in O(component diameter)
-    rounds — components here are tiny, and at 100 TB each round is one
-    shuffle-join of (edges ⋈ labels), with edges orders of magnitude
-    smaller than the corpus. Oracle: DuckDB recursive CTE reachability.
+    The dedup *decision* step: keep one representative per cluster.
+    Two-phase, switched on the MEASURED edge count (the standard
+    MapReduce-CC shape — e.g. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — run distributed rounds only while the
+    graph is too big for one machine, then finish locally):
+
+    * ``|E| ≤ local_max_edges``: collect the (bounded, never corpus-sized)
+      edge list and run union-find on the driver — one job instead of
+      O(diameter) join rounds.
+    * otherwise: iterative min-label propagation over DataFrames (the
+      simplified large-star algorithm): each round, every node takes the
+      minimum label among itself and its neighbors; converges in
+      O(component diameter) rounds, each round one shuffle-join of
+      (edges ⋈ labels). Oracle: DuckDB recursive CTE reachability.
 
     Scale shape: the join parallelism follows measured edge volume
     (:func:`propagation_partitions`), edges are hash-partitioned on the
@@ -497,10 +525,49 @@ def l2e_dup_clusters(
     # round's (edges ⋈ labels) reuses this layout
     raw = raw.persist()
     n_edges = raw.count()
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    if n_edges <= local_max_edges:
+        # phase 2 directly: the whole graph fits one task's worth of memory
+        edge_rows = raw.collect()  # bounded by local_max_edges by the branch
+        raw.unpersist(blocking=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            s, d = row["s"], row["d"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)  # min-id root ⇒ min label
+        label_rows = [(x, find(x)) for x in parent]
+        labels = spark.createDataFrame(label_rows, "doc_id long, lab long")
+        connected = labels.select("doc_id")
+    else:
+        labels, connected = _propagate_min_labels(raw, n_edges, edges_per_task)
+    singletons = docs.join(connected, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("lab")
+    )
+    return (
+        labels.unionByName(singletons)
+        .select("doc_id", F.col("lab").alias("cluster"))
+        .transform(ordered, "doc_id", partitions=8)
+    )
+
+
+def _propagate_min_labels(raw: DataFrame, n_edges: int, edges_per_task: int):
+    """Distributed phase of :func:`l2e_dup_clusters`: min-label propagation
+    until the (monotone) label sum fixes. Returns (labels, connected)."""
     n_parts = propagation_partitions(n_edges, edges_per_task)
     edges = raw.repartition(n_parts, "s").localCheckpoint()  # cut pair-gen lineage
     raw.unpersist(blocking=False)
-    docs = Catalog(spark, sf_dir).documents.select("doc_id")
     # only nodes that HAVE edges participate in propagation; the (vast)
     # singleton majority is its own cluster and never enters the loop
     connected = (
@@ -541,14 +608,7 @@ def l2e_dup_clusters(
         if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
-    singletons = docs.join(connected, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("lab")
-    )
-    return (
-        labels.unionByName(singletons)
-        .select("doc_id", F.col("lab").alias("cluster"))
-        .transform(ordered, "doc_id", partitions=8)
-    )
+    return labels, connected
 
 
 @register(

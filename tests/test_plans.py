@@ -178,11 +178,14 @@ def test_l2e_partitioning_follows_edge_volume(spark, sf_dir):
     # ceil, not floor: a straggler tail still gets its own task
     assert propagation_partitions(2_000_001) == 3
     # the dial is honored end-to-end: forcing ~1 edge per task must yield a
-    # many-partition propagation frame, and the result must be unchanged
+    # many-partition propagation frame, and the result must be unchanged.
+    # local_max_edges=0 forces the DISTRIBUTED phase (the default finishes
+    # driver-side below the two-phase threshold), so this also asserts the
+    # two phases agree on the same graph.
     from olr_cdc_oracle_with_dbz_spark.llmops.dedup import l2e_dup_clusters
 
     base = l2e_dup_clusters(spark, sf_dir).toPandas()
-    wide = l2e_dup_clusters(spark, sf_dir, edges_per_task=1).toPandas()
+    wide = l2e_dup_clusters(spark, sf_dir, edges_per_task=1, local_max_edges=0).toPandas()
     assert base.equals(wide)
 
 
