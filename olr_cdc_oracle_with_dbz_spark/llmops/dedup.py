@@ -240,8 +240,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange plus TWO doc-table joins after the pair aggregation. At
     # 100 TB those joins re-shuffle the pair set against a corpus-sized
     # table twice; the carried column costs one long per shingle instead.
+    # coalesce() makes sz statically NON-NULLABLE: the jac>=0.2 filter
+    # otherwise infers isnotnull(sz), and predicate pushdown inlines the
+    # alias chain — the full shingle-hash expression re-evaluated at the
+    # scan just to null-check its size. With a non-nullable type the
+    # inferred predicate constant-folds away instead.
     tri = explode_once(
-        sharr, ["doc_id", "lang", F.size("sh").alias("sz")], F.col("sh"), "shingle"
+        sharr,
+        ["doc_id", "lang", F.coalesce(F.size("sh"), F.lit(0)).alias("sz")],
+        F.col("sh"),
+        "shingle",
     )
     # SHUFFLE_HASH on the inverted-index self-join: the join key (shingle
     # hash) is high-cardinality, so sort-merge wastes two sorts and

@@ -336,9 +336,16 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode is map-side — shuffle ∝ distinct (doc, token).
     """
     d = Catalog(spark, sf_dir).documents
+    # per-doc token DEDUP in-row (array_distinct before the explode) — the
+    # same plan shape as _jaccard_pairs' shingles: the old
+    # dropDuplicates([doc_id, tok]) was a full (doc, token) shuffle, and the
+    # per-doc distinct count is a free size() on the deduped array
+    dts = d.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("dts")
+    )
     toks = explode_once(
-        d, ["doc_id"], F.split(F.lower("text"), " "), "tok"
-    ).dropDuplicates(["doc_id", "tok"])
+        dts, ["doc_id", F.size("dts").alias("n_distinct_toks")], F.col("dts"), "tok"
+    )
     # corpus size as a broadcast scalar frame (no driver .count() job)
     n_docs = F.broadcast(d.agg(F.count_distinct("doc_id").alias("n_docs")))
     boiler = (
@@ -350,11 +357,8 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         toks.join(F.broadcast(boiler), "tok", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct_toks"),
-            F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler"),
-        )
+        .groupBy("doc_id", "n_distinct_toks")
+        .agg(F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler"))
     )
     return per_doc.select(
         "doc_id",

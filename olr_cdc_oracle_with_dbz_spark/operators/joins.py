@@ -261,7 +261,13 @@ def q19_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style 6-way join; dims broadcast, facts shuffle once."""
+    """TPC-H-Q5-style 6-way join: the fact chain shuffles once (l ⋈ o on
+    orderkey); every other side is left UNHINTED so the size-based planner
+    picks broadcast-vs-shuffle from table statistics. A hard ``broadcast()``
+    here is wrong in BOTH directions: at sf0.1 it was missing on customer
+    (a 1 MB table rode a second full-fact shuffle), and at 100 TB it would
+    FORCE a billion-row supplier broadcast with no fallback — exactly the
+    decision autoBroadcastJoinThreshold/AQE exist to make per-scale."""
     cat = Catalog(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -272,10 +278,10 @@ def q20_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            cat.region.filter(F.col("r_name") == "ASIA"),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
