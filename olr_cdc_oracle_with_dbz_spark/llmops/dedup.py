@@ -147,6 +147,22 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(_N_PERM),
+        6,
+    )
+    # estimate + threshold BEFORE the cross-band dedup: the old order
+    # shuffled both 16-long signatures per candidate through the
+    # dropDuplicates exchange and kept sub-threshold pairs alive until the
+    # end — this way the dedup exchange carries only (ids, est) for pairs
+    # that already passed the 0.5 gate. A pair colliding in several bands
+    # re-computes one zip_with instead of shuffling 256 signature bytes.
     pairs = (
         a.join(
             b,
@@ -157,21 +173,12 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
+        .filter(F.col("est_jaccard") >= 0.5)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(_N_PERM),
-        6,
-    )
-    return (
-        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.5)
-        .transform(ordered, "doc_a", "doc_b", partitions=8)
-    )
+    return pairs.transform(ordered, "doc_a", "doc_b", partitions=8)
 
 
 _L2B_ORACLE = f"""

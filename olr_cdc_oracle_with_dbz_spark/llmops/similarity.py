@@ -206,18 +206,74 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl",
         "bucket",
     )
-    pairs = (
+    # Rerank stays a bucket equi-join (NOT the IVF's cogroup kernel: with
+    # tables × 2^bits ≈ 3k tiny groups the per-group overhead loses to the
+    # join — measured 2.2 s vs 1.3 s interleaved at sf0.1; the cogroup wins
+    # only for the IVF's ~16 big cells). But the cosine is computed BEFORE
+    # the cross-table dedup, so the dropDuplicates exchange carries 24-byte
+    # (ids, cosine) rows instead of both 64-dim vectors — a duplicate
+    # collision re-folds one dot product instead of shuffling a kilobyte.
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    cand = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .transform(ordered, "query_id", "rnk")
+    )
+
+
+def _cogroup_gemm_topk(
+    corpus: DataFrame, queries: DataFrame, keys: list[str], k: int = _TOP_K
+) -> DataFrame:
+    """Shared ANN rerank kernel: cogroup corpus (neighbor_id, cv, cn) and
+    probing queries (query_id, qv, qn) on ``keys``; each group scores in
+    ONE BLAS matmul and emits only its per-group top-k per query (the
+    union of per-group top-k contains the global top-k, since a group's
+    pairs are a subset of the query's global candidates). Replaces the
+    candidate pair-join + per-pair aggregate() fold, which made the approx
+    paths slower than the exact L3 GEMM at sf0.1."""
+
+    def score_group(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cdf["cv"]])
+        qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["qv"]])
+        sims = np.round(
+            (qm @ cm.T)
+            / np.outer(qdf["qn"].to_numpy(np.float64), cdf["cn"].to_numpy(np.float64)),
+            6,
+        )
+        nid = cdf["neighbor_id"].to_numpy(np.int64)
+        out = []
+        for i, qid in enumerate(qdf["query_id"].to_numpy(np.int64)):
+            keep = nid != qid
+            # per-group top-k with the global tie rule (cosine desc, id asc)
+            order = np.lexsort((nid[keep], -sims[i, keep]))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nid[keep][order],
+                        "cosine": sims[i, keep][order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        corpus.select(*keys, "neighbor_id", "cv", "cn")
+        .groupBy(*keys)
+        .cogroup(queries.select(*keys, "query_id", "qv", "qn").groupBy(*keys))
+        .applyInPandas(
+            lambda c, q: score_group(c, q),
+            "query_id long, neighbor_id long, cosine double",
+        )
     )
 
 
@@ -341,45 +397,7 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_b = queries.withColumn(
         "blk", F.explode(F.array([F.lit(i) for i in range(n_blocks)]))
     )
-    k = _TOP_K
-
-    def score_cell(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cdf["cv"]])
-        qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["qv"]])
-        sims = np.round(
-            (qm @ cm.T)
-            / np.outer(qdf["qn"].to_numpy(np.float64), cdf["cn"].to_numpy(np.float64)),
-            6,
-        )
-        nid = cdf["neighbor_id"].to_numpy(np.int64)
-        out = []
-        for i, qid in enumerate(qdf["query_id"].to_numpy(np.int64)):
-            keep = nid != qid
-            # per-cell top-k with the global tie rule (cosine desc, id asc);
-            # the union of per-cell top-k contains the global top-k.
-            order = np.lexsort((nid[keep], -sims[i, keep]))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": nid[keep][order],
-                        "cosine": sims[i, keep][order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    cand = (
-        corpus_b.select("cell", "blk", "neighbor_id", "cv", "cn")
-        .groupBy("cell", "blk")
-        .cogroup(queries_b.select("cell", "blk", "query_id", "qv", "qn").groupBy("cell", "blk"))
-        .applyInPandas(
-            lambda c, q: score_cell(c, q),
-            "query_id long, neighbor_id long, cosine double",
-        )
-    )
+    cand = _cogroup_gemm_topk(corpus_b, queries_b, ["cell", "blk"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
