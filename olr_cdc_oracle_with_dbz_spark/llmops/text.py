@@ -11,6 +11,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
@@ -417,19 +418,19 @@ def l8_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
     )
     scored = d.select("doc_id", "text", quality.alias("quality"))
-    keep = (
-        scored.filter(F.col("quality") >= 0.5)
-        .groupBy(F.md5(F.lower(F.trim("text"))).alias("ck"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # dedup as min-doc_id-per-content-key via ONE window over the quality
+    # survivors — the groupBy(ck)+self-join form scanned the corpus twice
+    # and shuffled it twice (once on ck, once on doc_id, text riding both)
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
     clean = F.md5(
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
         )
     )
     return (
-        scored.join(keep, "doc_id")
+        scored.filter(F.col("quality") >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # lowest doc_id survives per content key
         .select("doc_id", F.round("quality", 6).alias("quality"), clean.alias("clean_md5"))
         .transform(ordered, "doc_id", partitions=8)
     )
