@@ -79,19 +79,23 @@ def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_frames",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_rev,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000, 6) AS running_rev,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS near_rev
+                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000, 6) AS near_rev
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
 def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rowsBetween running sum + rangeBetween sliding sum (exact decimal)."""
+    """rowsBetween running sum + rangeBetween sliding sum, exact via long
+    micro-units (the q26 rework: codegen'd long adds instead of per-row
+    BigDecimal; a per-customer running sum stays far under 2^63 at any
+    SF, and the one long→double division renders identically in both
+    engines)."""
     o = Catalog(spark, sf_dir).orders
-    dec_price = F.col("o_totalprice").cast(DEC)
+    mic_price = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
     running = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -102,11 +106,12 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .rangeBetween(-10, Window.currentRow)
     )
+    rend = lambda c: F.round(c.cast("double") / 1_000_000, 6)  # noqa: E731
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(dec_price).over(running).cast("double"), 6).alias("running_rev"),
-        F.round(F.sum(dec_price).over(near).cast("double"), 6).alias("near_rev"),
+        rend(F.sum(mic_price).over(running)).alias("running_rev"),
+        rend(F.sum(mic_price).over(near)).alias("near_rev"),
     ).transform(ordered, "o_custkey", "o_orderkey", partitions=8)
 
 
