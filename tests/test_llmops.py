@@ -346,3 +346,38 @@ def test_trigram_jaccard_short_docs_cross_engine(spark, tmp_path):
     assert len(got) == len(want) == 1  # only the (3,4) exact-dup pair
     assert (got.doc_a.iloc[0], got.doc_b.iloc[0]) == (3, 4)
     assert got.jaccard.iloc[0] == want.jaccard.iloc[0] == 1.0
+
+
+def test_l5d_re2_path_matches_java_regex_expressions(spark):
+    """l5d runs its regexes through pyarrow/RE2 inside mapInPandas for
+    speed; the patterns are declared Java-regex ∩ RE2 — this pins the
+    claim by recomputing with codegen'd regexp_replace/regexp_extract_all
+    and demanding identical rows."""
+    import pyspark.sql.functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+    from olr_cdc_oracle_with_dbz_spark.llmops.text import _EMAIL_RE, _PHONE_RE
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+
+    d = Catalog(spark, SF).documents
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" now"),
+    )
+    t1 = F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>")
+    want = (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+            F.size(F.regexp_extract_all(t1, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+            F.md5(F.regexp_replace(t1, _PHONE_RE, "<PHONE>")).alias("clean_md5"),
+        )
+        .transform(ordered, "doc_id", partitions=8)
+        .toPandas()
+    )
+    got = load_all()["l5d_redact_pii"].spark_fn(spark, SF).toPandas()
+    assert got.reset_index(drop=True).astype(str).equals(want.reset_index(drop=True).astype(str))
