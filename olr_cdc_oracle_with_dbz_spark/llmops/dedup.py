@@ -413,20 +413,6 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bits(n_bits: int = 16):
-    """Column expr list: signed per-bit contributions summed per doc.
-
-    Summed per token OCCURRENCE: Σ_occurrences ±1 ≡ Σ_distinct cnt·(±1),
-    so no (doc_id, tok) count pre-aggregation (and its shuffle) is needed
-    — one groupBy(doc_id) with map-side partials is the whole reduction.
-    """
-    h = F.col("h")
-    return [
-        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-
-
 @register(
     "l2c_simhash",
     oracle=f"""
@@ -451,20 +437,54 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2c (EXACT): 16-bit SimHash document fingerprint.
 
     Token-count-weighted signed projection per bit; near-dup docs differ in
-    few bits (Hamming ball lookup at scale). Single groupBy(doc) shuffle.
+    few bits (Hamming ball lookup at scale). ZERO-shuffle: SimHash is a
+    per-document map, so the whole signature computes in one vectorized
+    mapInPandas pass (plan-pinned in tests/test_plans.py).
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     d = Catalog(spark, sf_dir).documents
-    toks = explode_once(d, ["doc_id"], F.split(F.lower("text"), " "), "tok")
-    # hash per occurrence (map-side, codegen) — cheaper than the former
-    # (doc_id, tok) count shuffle it replaces; see _simhash_bits
-    bits = toks.withColumn("h", _hash60(F.col("tok"))).groupBy("doc_id").agg(
-        *_simhash_bits(16)
+
+    def sim_batches(batches):
+        # SimHash is a PER-DOCUMENT map — no explode, no groupBy, zero
+        # shuffle (the previous explode + 16-bit-sum aggregate cost 11 s at
+        # sf1 vs DuckDB's 0.8 s; this pure-map form measures ~1 s). The
+        # md5-derived 60-bit token hash is memoized per worker: natural-
+        # language vocabulary is Zipf-bounded, so the cache turns
+        # occurrences into distinct-token hashes; a size cap keeps memory
+        # bounded on adversarial vocabularies.
+        cache: dict[str, int] = {}
+        weights = (1 << np.arange(16)).astype(np.int64)
+
+        def h60(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                cache[tok] = v
+            return v
+
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                hs = np.fromiter(
+                    (h60(t) for t in text.lower().split(" ")), dtype=np.int64
+                )
+                # signed per-bit contributions summed per occurrence
+                # (≡ Σ_distinct cnt·(±1)), identical to the oracle's form
+                acc = (((hs[:, None] >> np.arange(16)) & 1) * 2 - 1).sum(axis=0)
+                out[i] = int(((acc > 0) * weights).sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(sim_batches, "doc_id bigint, simhash bigint")
+        .transform(ordered, "doc_id", partitions=8)
     )
-    sim = None
-    for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.cast("bigint").alias("simhash")).transform(ordered, "doc_id", partitions=8)
 
 
 def propagation_partitions(n_edges: int, edges_per_task: int = 1_000_000) -> int:

@@ -240,17 +240,62 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash), so re-ordered near-dups fingerprint differently. Modulus keeps
     every intermediate < 2^35: no overflow divergence between engines.
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     d = Catalog(spark, sf_dir).documents
-    ts = F.split(F.lower("text"), " ")
-    tok_h = F.transform(
-        ts, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % 65536
+    P = 1_000_000_007
+
+    def fp_batches(batches):
+        # The rolling fold acc←(acc·31+x) mod P closed-forms to
+        # 7·31ⁿ + Σ xᵢ·31^(n-1-i) (mod P), so the whole document vectorizes:
+        # power tables 31^(64j) and 31^(0..63) mod P compose any exponent
+        # with one multiply. Token hashes are md5-derived (cross-engine
+        # contract) and memoized per worker — vocabulary is Zipf-bounded,
+        # so occurrences collapse to distinct-token hashes. The expression
+        # form (transform + aggregate HOF) evaluated the lambda per element
+        # interpreted: 7.7 s at sf1 vs ~1.5 s here; both are zero-shuffle.
+        cache: dict[str, int] = {}
+        small = np.empty(64, dtype=np.int64)
+        small[0] = 1
+        for i in range(1, 64):
+            small[i] = small[i - 1] * 31 % P
+        big = [1]  # big[j] = 31^(64j) mod P, grown on demand
+        step64 = pow(31, 64, P)
+
+        def h16(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 65536
+                cache[tok] = v
+            return v
+
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                toks = text.lower().split(" ")
+                n = len(toks)
+                while len(big) <= n // 64:
+                    big.append(big[-1] * step64 % P)
+                hs = np.fromiter((h16(t) for t in toks), dtype=np.int64, count=n)
+                k = np.arange(n - 1, -1, -1)  # exponent of token i is n-1-i
+                pw = (
+                    np.asarray(big, dtype=np.int64)[k >> 6] * small[k & 63]
+                ) % P
+                # xᵢ < 2¹⁶ and pw < 2³⁰ → products < 2⁴⁶; reduced mod P
+                # before the sum so int64 stays exact at any token count
+                out[i] = (int(((hs * pw) % P).sum()) + 7 * pow(31, n, P)) % P
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "fingerprint": out})
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(fp_batches, "doc_id bigint, fingerprint bigint")
+        .transform(ordered, "doc_id", partitions=8)
     )
-    fp = F.aggregate(
-        tok_h,
-        F.lit(7).cast("bigint"),
-        lambda acc, x: (acc * 31 + x) % 1000000007,
-    )
-    return d.select("doc_id", fp.alias("fingerprint")).transform(ordered, "doc_id", partitions=8)
 
 
 #: PII patterns in the Java-regex ∩ RE2 dialect intersection

@@ -264,10 +264,10 @@ def test_exact_stats_aggs_hash_only(spark, sf_dir, reg):
 
 
 def test_simhash_single_shuffle(spark, sf_dir, reg):
-    """l2c: per-occurrence signed bit sums need exactly ONE aggregation
-    exchange (groupBy doc_id); a second exchange means the fused-out
-    (doc_id, tok) pre-count crept back in."""
+    """l2c: SimHash is a per-document MAP — since r6 the whole signature
+    computes inside one mapInPandas pass, so the only exchange allowed is
+    the final ordered() range partitioning. A second exchange means an
+    explode/aggregate crept back in."""
     plan = _plan(reg["l2c_simhash"].spark_fn(spark, sf_dir))
-    # exchanges: 1 for the aggregation + 1 for the final ordered() range
-    # partitioning. Anything more is a regression.
-    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
