@@ -7,8 +7,6 @@ expressions (no Python in the hot path), each exact-checked vs DuckDB.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
