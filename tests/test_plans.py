@@ -95,10 +95,14 @@ def test_flagship_agg_stays_in_codegen(spark, sf_dir, reg):
 
 
 def test_exact_topk_uses_broadcast_side_for_queries(spark, sf_dir, reg):
-    """l3: the 100-query side is broadcast against the corpus — the corpus
-    (the side that is 100 TB in production) must never be broadcast."""
+    """l3 (r6 shape): the bounded query matrix rides a task broadcast into
+    a mapInPandas GEMM+fold kernel; the corpus (the side that is 100 TB in
+    production) is never broadcast, joined, or shuffled — the only
+    exchanges are the |queries|·k merge window and the final sort."""
     plan = _plan(reg["l3_cosine_topk"].spark_fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # no pair materialization of any kind
+    assert "BroadcastExchange" not in plan  # corpus never broadcast
 
 
 def test_compaction_is_single_shuffle_window(spark, sf_dir, reg):
