@@ -145,8 +145,13 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "bb",
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # SHUFFLE_HASH on both sides (the l2b pattern): with symmetric shuffle
+    # exchanges Catalyst plans a ReusedExchange, so the signature + banding
+    # expression chain is computed ONCE per corpus instead of once per join
+    # side; a broadcast side would re-evaluate it (and broadcasting either
+    # side is wrong at corpus scale anyway).
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     est = F.round(
         F.size(
             F.filter(
