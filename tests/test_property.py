@@ -341,3 +341,64 @@ def test_integer_moment_stats_parity(spark, qty):
             """
         ),
     )
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abcdefg ", min_size=0, max_size=12), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_fingerprint_closed_form_equals_rolling_fold(spark, tmp_path_factory, docs):
+    """l7's vectorized closed-form kernel must equal the definitional
+    rolling fold acc<-(acc*31+h) mod P for any token stream — including
+    empty docs, empty tokens, and repeated tokens. Drives the REAL
+    registered query over a planted documents table."""
+    import hashlib
+
+    from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+    P = 1_000_000_007
+
+    def h16(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 65536
+
+    def rolling(doc: str) -> int:
+        acc = 7
+        for t in doc.lower().split(" "):
+            acc = (acc * 31 + h16(t)) % P
+        return acc
+
+    texts = [" ".join(toks) for toks in docs]
+    sf = tmp_path_factory.mktemp("fpdocs")
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        str(sf / "documents.parquet")
+    )
+    got = (
+        load_all()["l7_fingerprint"]
+        .spark_fn(spark, str(sf))
+        .toPandas()
+        .sort_values("doc_id")["fingerprint"]
+        .tolist()
+    )
+    assert got == [rolling(t) for t in texts]
+
+
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_decode_fake_batch_equals_per_row(payloads):
+    """m2's vectorized fake-codec twin must be bit-identical to the
+    per-item decoder on arbitrary payloads (empty, short, 256-boundary,
+    oversize)."""
+    import numpy as np
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.multimodal import (
+        _decode_fake_batch,
+        decode_fake,
+    )
+
+    batch = _decode_fake_batch(payloads, None)
+    for p, got in zip(payloads, batch):
+        assert np.array_equal(decode_fake(p, "x"), got), p
