@@ -275,22 +275,35 @@ def q21b_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21c_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: of users first active in week W, how many
-    are active again in W+1. Two aggregations on the same distinct
-    activity set (ReusedExchange), join back on user — one user-keyed
-    shuffle end to end."""
+    are active again in W+1.
+
+    Single user-keyed dataflow: cohort week = min(wk) OVER (user), the
+    retained flag reduces per user in the SAME partitioning (no new
+    exchange between the window and the groupBy), and the final cohort
+    rollup is a plain count/sum over one row per user. The previous form
+    aggregated cohorts separately, joined back on user, and finished with
+    two countDistincts — an Expand ×2 of the joined rows plus two extra
+    user-keyed exchanges."""
     ev = Catalog(spark, sf_dir).events
     act = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
     ).distinct()
-    cohort = act.groupBy("user_id").agg(F.min("wk").alias("c"))
-    joined = cohort.join(act, "user_id")
-    return (
-        joined.groupBy(F.col("c").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
+    per_user = (
+        act.withColumn("c", F.min("wk").over(w))
+        .groupBy("user_id")
         .agg(
-            F.countDistinct("user_id").alias("n_cohort"),
-            F.countDistinct(
-                F.when(F.col("wk") == F.col("c") + F.expr("INTERVAL 7 DAY"), F.col("user_id"))
-            ).alias("n_retained_w1"),
+            F.first("c").alias("cohort_week"),
+            F.max(
+                (F.col("wk") == F.col("c") + F.expr("INTERVAL 7 DAY")).cast("int")
+            ).alias("ret"),
+        )
+    )
+    return (
+        per_user.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_cohort"),
+            F.sum("ret").alias("n_retained_w1"),
         )
         .transform(ordered, "cohort_week")
     )
