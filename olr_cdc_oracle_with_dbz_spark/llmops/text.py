@@ -235,8 +235,11 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: rolling polynomial hash fingerprint over the token stream.
 
     acc = (acc·31 + h(token)) mod 1e9+7, seeded 7 — order-sensitive (unlike
-    simhash), so re-ordered near-dups fingerprint differently. Modulus keeps
-    every intermediate < 2^35: no overflow divergence between engines.
+    simhash), so re-ordered near-dups fingerprint differently. The oracle
+    computes the definitional fold with every intermediate < 2^35; this
+    side evaluates the identical value through the vectorized closed form
+    below (property-tested equal to the rolling fold in
+    tests/test_property.py).
     """
     import hashlib
 
