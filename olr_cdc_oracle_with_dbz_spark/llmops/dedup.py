@@ -559,7 +559,19 @@ def l2e_dup_clusters(
     that materializes the round's label cache.
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    raw = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d")
+    # both edge directions from ONE evaluation of the pair join: union'ing
+    # pairs with its own swap plants the inverted-index self-join subtree in
+    # the plan twice (two ShuffledHashJoins, measured), and the shingle join
+    # is ~80% of l2e's cost; exploding a 2-element struct array emits (s,d)
+    # and (d,s) from a single join output row instead.
+    raw = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
     # count once (also warms the cache), then size the propagation join from
     # the measured edge volume; hash-partition on the join key so every
     # round's (edges ⋈ labels) reuses this layout
