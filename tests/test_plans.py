@@ -193,6 +193,28 @@ def test_l2e_partitioning_follows_edge_volume(spark, sf_dir):
     assert base.equals(wide)
 
 
+def test_l2e_edge_symmetrization_single_join(spark, sf_dir):
+    """l2e: both edge directions must come from ONE evaluation of the
+    inverted-index pair join. union(pairs, swap(pairs)) plants the join
+    subtree in the physical plan twice — the explode-based symmetrization
+    keeps exactly one ShuffledHashJoin."""
+    import pyspark.sql.functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    raw = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    plan = _plan(raw)
+    assert plan.count("ShuffledHashJoin") == 1
+
+
 def test_q23_multi_distinct_no_expand(spark, sf_dir, reg):
     """q23: three distinct-count columns must NOT compile to Catalyst's 3×
     Expand-before-shuffle (shuffle input = 3·|rows| at any key cardinality).
