@@ -34,6 +34,16 @@ def main() -> None:
     from olr_cdc_oracle_with_dbz_spark.registry import load_all
     from olr_cdc_oracle_with_dbz_spark.session import get_spark
 
+    # Size the local thread pool to DELIVERED parallelism, not advertised
+    # vCPUs (hostcal.py: oversubscribed shared hosts deliver a fraction of
+    # the advertised cores; threads beyond that buy context-switch and
+    # GC-thread overhead). Explicit SPARK_GRAFT_CPUS always wins; cluster
+    # deployments are unaffected (session.py default unchanged — this is
+    # bench-harness policy, like AQE-off below).
+    from olr_cdc_oracle_with_dbz_spark.hostcal import apply_calibration
+
+    apply_calibration()
+
     # Local-bench scheduling confs (round-6 floor work). The fixed
     # ~0.25 s/query at sf0.1 is per-JOB/per-TASK scheduling, not dataflow:
     # AQE turns every exchange into a separately scheduled stage-job
@@ -103,7 +113,10 @@ def main() -> None:
     # out-of-band fresh-process probe for the honest number. First in the
     # process, the bench-emitted figure IS the fresh-JVM figure.
     cdc_stats: dict[str, float] = {}
+    skip_cdc = os.environ.get("BENCH_SKIP_CDC") == "1"  # iteration-only escape hatch
     try:
+        if skip_cdc:
+            raise RuntimeError("BENCH_SKIP_CDC=1")
         import shutil
         import tempfile
 

@@ -1,0 +1,73 @@
+"""Host parallelism calibration for local benchmarking harnesses.
+
+Shared-host windows can advertise many vCPUs while the hypervisor
+delivers a fraction of that throughput (measured in one round-6 window:
+32 advertised, ~10-12 delivered — a 32-way CPU-bound pool at 30% scaling
+efficiency, CDC ingest 38k ev/s at local[32] vs 71k at local[10], and a
+20-query exact-class subset consistently faster at local[10] in 3×
+interleaved A/B). Sizing the local[N] thread pool to *delivered* cores
+avoids paying context-switch + GC-thread overhead for phantom CPUs.
+
+This is measurement-harness policy only (bench.py, scripts/sf_trend.py):
+the engine's session default stays local[*]/cluster-managed, and an
+explicit ``SPARK_GRAFT_CPUS`` always wins.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def _spin(_: int) -> int:
+    s = 0
+    for i in range(6_000_000):
+        s += i
+    return s
+
+
+def effective_cpus() -> int:
+    """Measured core-equivalents of this host (0 = keep the default).
+
+    One CPU-bound reference loop timed solo, then ``n_adv`` copies in a
+    process pool: delivered parallelism = n_adv * solo / pooled. A healthy
+    dedicated host measures close to n_adv and keeps local[n_adv]; an
+    oversubscribed shared host measures the truth. The 1.25 factor
+    over-provisions slightly (Spark tasks block on I/O; SMT gains show up
+    under mixed load that the pure-CPU probe can't see).
+    """
+    try:
+        import multiprocessing as mp
+
+        n_adv = os.cpu_count() or 8
+        if n_adv <= 8:
+            return 0
+        t0 = time.perf_counter()
+        _spin(0)
+        solo = time.perf_counter() - t0
+        with mp.get_context("fork").Pool(n_adv) as pool:
+            t0 = time.perf_counter()
+            pool.map(_spin, range(n_adv))
+            pooled = time.perf_counter() - t0
+        equiv = n_adv * solo / max(pooled, 1e-9)
+        n = int(min(n_adv, max(8, round(equiv * 1.25))))
+        print(
+            f"# cpu calibration: {n_adv} advertised, {equiv:.1f} delivered"
+            f" -> local[{n}]",
+            file=sys.stderr,
+        )
+        return n
+    except Exception as ex:  # calibration must never kill a bench
+        print(f"# cpu calibration skipped: {ex}", file=sys.stderr)
+        return 0
+
+
+def apply_calibration() -> int:
+    """Set SPARK_GRAFT_CPUS from measurement unless explicitly pinned."""
+    if "SPARK_GRAFT_CPUS" in os.environ:
+        return 0
+    n = effective_cpus()
+    if n:
+        os.environ["SPARK_GRAFT_CPUS"] = str(n)
+    return n

@@ -125,6 +125,9 @@ def spark_times(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     from olr_cdc_oracle_with_dbz_spark.session import get_spark
 
+    from olr_cdc_oracle_with_dbz_spark.hostcal import apply_calibration
+
+    apply_calibration()  # size local[N] to delivered (not advertised) cores
     full = "--full" in sys.argv
     names = full_exact_names() if full else TREND_QUERIES
     spark = get_spark()
