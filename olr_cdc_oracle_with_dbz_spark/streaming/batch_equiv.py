@@ -74,16 +74,23 @@ def s3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s4_session_window",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), marked AS (
-      SELECT user_id, tsx,
+      SELECT user_id, event_id, tsx,
              CASE WHEN prev_ts IS NULL OR tsx - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ), numbered AS (
+      -- the running sum MUST use the same total order as the lag above:
+      -- with duplicate timestamps (10 identical-ts replicas per event at
+      -- the synthetic sf1) an ORDER BY tsx ROWS frame breaks ties
+      -- arbitrarily, and when the is_new row lands mid-tie the earlier tie
+      -- rows attach to the PREVIOUS session (11-event sessions out of a
+      -- 10-row tie group, 2 fewer groups corpus-wide). Spark's
+      -- session_window has no such order dependence.
       SELECT user_id, tsx,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsx
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsx, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
       FROM marked
     )
