@@ -151,6 +151,44 @@ def main() -> None:
                         "final_rows": table.read().count(),
                     }
                 cdc_stats["runs"] = completed  # best of the runs that FINISHED
+                # Steady-state MERGE throughput: the same dataflow (parse →
+                # unwrap → keyed MERGE with tombstones → bucketed commit)
+                # as one batch, minus the streaming machinery's ONE-TIME
+                # costs (checkpoint init, source discovery, offset/commit
+                # logs). A production CDC pipeline runs for months, so the
+                # reference's quoted throughput is steady-state; the
+                # spin-up-inclusive figure above stays the headline, this
+                # bounds what the pipeline sustains once running.
+                from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
+                    parse_envelope,
+                    unwrap,
+                )
+                from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
+                    source_filter as _sfilt,
+                )
+
+                unw = unwrap(
+                    _sfilt(
+                        parse_envelope(spark.read.text(f"{work}/in"), "value"),
+                        "OLR_DB",
+                        "PRODUCT",
+                    )
+                )
+                best_merge = None
+                for _m in range(2):
+                    shutil.rmtree(f"{work}/table2", ignore_errors=True)
+                    t0 = time.perf_counter()
+                    ParquetUpsertTable(spark, f"{work}/table2", key="id").merge_batch(
+                        unw, 0
+                    )
+                    el_m = time.perf_counter() - t0
+                    best_merge = el_m if best_merge is None or el_m < best_merge else best_merge
+                if (
+                    "merge_events_per_sec" not in cdc_stats
+                    or n_events / best_merge > cdc_stats["merge_events_per_sec"]
+                ):
+                    cdc_stats["merge_sec"] = round(best_merge, 4)
+                    cdc_stats["merge_events_per_sec"] = round(n_events / best_merge, 1)
             finally:
                 shutil.rmtree(work, ignore_errors=True)
     except Exception as ex:  # throughput section must not kill the bench
@@ -210,6 +248,10 @@ def main() -> None:
         # fresh-JVM headline (no out-of-band probe needed).
         "cdc_policy": "best_of_runs_pre_sweep",
         "cdc_events_per_sec": cdc_stats.get("events_per_sec", -1.0),
+        # same dataflow minus one-time stream spin-up (see CDC section)
+        "cdc_steady_merge_events_per_sec": cdc_stats.get(
+            "merge_events_per_sec", -1.0
+        ),
     }
     details = {
         **result,
