@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Bench harness: run the engine's headline queries and print ONE JSON line.
 
-    {"metric": "total_sec", "value": N, "unit": "sec",
-     "queries": {"q01_scan_full": s, ...}, "sf": 0.1}
+    {"metric": "exact_total_sec", "value": N, "unit": "sec", "sf": 0.1,
+     "total_sec": ..., "cdc_events_per_sec": ..., "duckdb_probe_sec": ...,
+     "host_calibration": {...}}
+
+The stdout line is compact totals-only (<500 chars) so it fits the
+driver's bounded stdout tail; the per-query timing map lives in
+BENCH_DETAILS.json next to this script.
 
 Env:
   SPARK_GRAFT_SF_DIR  data dir   (default /root/testdata/sf0.1)
@@ -23,6 +28,10 @@ import os
 import statistics
 import sys
 import time
+
+
+class _CdcSkipped(Exception):
+    """Control-flow marker: BENCH_SKIP_CDC=1 bypasses the CDC section."""
 
 
 def main() -> None:
@@ -113,10 +122,14 @@ def main() -> None:
     # out-of-band fresh-process probe for the honest number. First in the
     # process, the bench-emitted figure IS the fresh-JVM figure.
     cdc_stats: dict[str, float] = {}
+    merge_stats: dict[str, float] = {}  # best-of tracked INDEPENDENTLY of the
+    steady_stats: dict[str, float] = {}  # streaming best-of (r6 advisor item)
     skip_cdc = os.environ.get("BENCH_SKIP_CDC") == "1"  # iteration-only escape hatch
+    if skip_cdc:
+        print("# cdc bench skipped (BENCH_SKIP_CDC=1)", file=sys.stderr)
     try:
         if skip_cdc:
-            raise RuntimeError("BENCH_SKIP_CDC=1")
+            raise _CdcSkipped  # plain skip — reported above, not as an error
         import shutil
         import tempfile
 
@@ -151,14 +164,16 @@ def main() -> None:
                         "final_rows": table.read().count(),
                     }
                 cdc_stats["runs"] = completed  # best of the runs that FINISHED
-                # Steady-state MERGE throughput: the same dataflow (parse →
-                # unwrap → keyed MERGE with tombstones → bucketed commit)
-                # as one batch, minus the streaming machinery's ONE-TIME
-                # costs (checkpoint init, source discovery, offset/commit
-                # logs). A production CDC pipeline runs for months, so the
-                # reference's quoted throughput is steady-state; the
-                # spin-up-inclusive figure above stays the headline, this
-                # bounds what the pipeline sustains once running.
+                # Batch-MERGE throughput, two probes (r6 advisor: the old
+                # single figure merged the whole corpus into an EMPTY table
+                # — an upper bound, not steady state):
+                #  (a) single_batch: full corpus → empty table. One-shot
+                #      bulk-load/backfill speed; labeled the upper bound.
+                #  (b) steady: inserts are merged first (untimed) to build
+                #      real table state, then the update/delete tail is
+                #      timed merging INTO that state — paying the read-back
+                #      of touched buckets + compact over base∪batch that
+                #      every production micro-batch pays.
                 from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
                     parse_envelope,
                     unwrap,
@@ -166,6 +181,7 @@ def main() -> None:
                 from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
                     source_filter as _sfilt,
                 )
+                from pyspark.sql import functions as F
 
                 unw = unwrap(
                     _sfilt(
@@ -174,25 +190,82 @@ def main() -> None:
                         "PRODUCT",
                     )
                 )
-                best_merge = None
-                for _m in range(2):
+                for _m in range(2):  # (a) empty-table bulk merge
                     shutil.rmtree(f"{work}/table2", ignore_errors=True)
                     t0 = time.perf_counter()
                     ParquetUpsertTable(spark, f"{work}/table2", key="id").merge_batch(
                         unw, 0
                     )
                     el_m = time.perf_counter() - t0
-                    best_merge = el_m if best_merge is None or el_m < best_merge else best_merge
-                if (
-                    "merge_events_per_sec" not in cdc_stats
-                    or n_events / best_merge > cdc_stats["merge_events_per_sec"]
-                ):
-                    cdc_stats["merge_sec"] = round(best_merge, 4)
-                    cdc_stats["merge_events_per_sec"] = round(n_events / best_merge, 1)
+                    if (
+                        "merge_events_per_sec" not in merge_stats
+                        or n_events / el_m > merge_stats["merge_events_per_sec"]
+                    ):
+                        merge_stats = {
+                            "merge_sec": round(el_m, 4),
+                            "merge_events_per_sec": round(n_events / el_m, 1),
+                        }
+                # (b) steady state: seed with the inserts, time the tail
+                tail = unw.filter(F.col("op") != "c")
+                n_tail = tail.count()
+                seed_dir = f"{work}/tseed"
+                ParquetUpsertTable(spark, seed_dir, key="id").merge_batch(
+                    unw.filter(F.col("op") == "c"), 0
+                )
+                for _m in range(2):
+                    t3_dir = f"{work}/table3"
+                    shutil.rmtree(t3_dir, ignore_errors=True)
+                    shutil.copytree(seed_dir, t3_dir)  # reset state, untimed
+                    t0 = time.perf_counter()
+                    ParquetUpsertTable(spark, t3_dir, key="id").merge_batch(tail, 1)
+                    el_s = time.perf_counter() - t0
+                    if (
+                        "steady_merge_events_per_sec" not in steady_stats
+                        or n_tail / el_s > steady_stats["steady_merge_events_per_sec"]
+                    ):
+                        steady_stats = {
+                            "steady_tail_events": n_tail,
+                            "steady_merge_sec": round(el_s, 4),
+                            "steady_merge_events_per_sec": round(n_tail / el_s, 1),
+                        }
             finally:
                 shutil.rmtree(work, ignore_errors=True)
+    except _CdcSkipped:
+        pass
     except Exception as ex:  # throughput section must not kill the bench
         print(f"# cdc bench error: {ex}", file=sys.stderr)
+    cdc_stats.update(merge_stats)
+    cdc_stats.update(steady_stats)
+
+    # Contention canary: 3 DuckDB queries in a CLEAN subprocess (never in
+    # this JVM-resident process — BASELINE.md method) so a window where the
+    # host is oversubscribed is self-diagnosing in the committed record
+    # (r6's join-family 2× drift on unchanged code was undiagnosable from
+    # BENCH_r06.json alone).
+    duckdb_probe: dict = {}
+    try:
+        import subprocess
+
+        canaries = "q13_inner_join,q22_hash_agg_tpch_q1,q31_ranking"
+        env = dict(os.environ, DUCKDB_BASELINE_QUERIES=canaries)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts",
+                    "duckdb_clean_baseline.py",
+                ),
+                sf_dir,
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        duckdb_probe = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as ex:
+        print(f"# duckdb probe error: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -230,12 +303,14 @@ def main() -> None:
         3,
     )
     exact_total = round(sum(v for v in exact.values() if v > 0), 3)
+    from olr_cdc_oracle_with_dbz_spark import hostcal
+
     result = {
         "metric": "exact_total_sec",
         "value": exact_total,
         "unit": "sec",
-        "queries": {n: round(v, 3) for n, v in timings.items()},
         "sf": sf,
+        "n_queries": len(timings),
         "approx_sec": approx_sec,
         "unoracled_sec": unoracled_sec,
         # all-timed-queries total (the round-1 headline definition) so
@@ -248,15 +323,26 @@ def main() -> None:
         # fresh-JVM headline (no out-of-band probe needed).
         "cdc_policy": "best_of_runs_pre_sweep",
         "cdc_events_per_sec": cdc_stats.get("events_per_sec", -1.0),
-        # same dataflow minus one-time stream spin-up (see CDC section)
-        "cdc_steady_merge_events_per_sec": cdc_stats.get(
+        # full corpus merged into an EMPTY table: bulk-load upper bound
+        "cdc_single_batch_merge_events_per_sec": cdc_stats.get(
             "merge_events_per_sec", -1.0
         ),
+        # update/delete tail merged into PRE-POPULATED state — the cost a
+        # real long-running micro-batch pipeline pays every batch
+        "cdc_steady_merge_events_per_sec": cdc_stats.get(
+            "steady_merge_events_per_sec", -1.0
+        ),
+        # contention context: clean-subprocess DuckDB canary total + the
+        # measured pool size this run executed under (hostcal)
+        "duckdb_probe_sec": duckdb_probe.get("value", -1.0),
+        "host_calibration": hostcal.LAST or None,
     }
     details = {
         **result,
+        "queries": {n: round(v, 3) for n, v in timings.items()},
         "ingest_sec": ingest_sec,
         "cdc_ingest": cdc_stats,
+        "duckdb_probe": duckdb_probe.get("queries", {}),
     }
 
     if os.environ.get("BENCH_BASELINE") == "1":
@@ -290,7 +376,14 @@ def main() -> None:
     )
     with open(os.path.join(out_dir, fname), "w") as f:
         json.dump(details, f, indent=1)
-    print(json.dumps(result, separators=(",", ":")))
+    # ONE compact JSON line (<500 chars), the FINAL stdout line. The driver
+    # keeps only a 2000-char stdout tail; rounds 1-6 embedded the per-query
+    # map here and every BENCH_rN.json came back "parsed": null because the
+    # line outran the tail. Totals only; the per-query map is committed in
+    # BENCH_DETAILS.json (and the subset sidecar for BENCH_QUERIES runs).
+    line = json.dumps(result, separators=(",", ":"))
+    assert len(line) < 1500, f"bench line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,13 @@ def _spin(_: int) -> int:
     return s
 
 
+#: Last measurement taken by :func:`effective_cpus` (advertised cores,
+#: delivered core-equivalents, chosen local[N]) — recorded so bench output
+#: can state the pool size each run was measured under (cross-run timing
+#: comparisons are meaningless without it on a variably-loaded host).
+LAST: dict = {}
+
+
 def effective_cpus() -> int:
     """Measured core-equivalents of this host (0 = keep the default).
 
@@ -37,11 +44,13 @@ def effective_cpus() -> int:
     over-provisions slightly (Spark tasks block on I/O; SMT gains show up
     under mixed load that the pure-CPU probe can't see).
     """
+    global LAST
     try:
         import multiprocessing as mp
 
         n_adv = os.cpu_count() or 8
         if n_adv <= 8:
+            LAST = {"advertised": n_adv, "skipped": "small_host"}
             return 0
         t0 = time.perf_counter()
         _spin(0)
@@ -52,6 +61,11 @@ def effective_cpus() -> int:
             pooled = time.perf_counter() - t0
         equiv = n_adv * solo / max(pooled, 1e-9)
         n = int(min(n_adv, max(8, round(equiv * 1.25))))
+        LAST = {
+            "advertised": n_adv,
+            "delivered_equiv": round(equiv, 1),
+            "local_n": n,
+        }
         print(
             f"# cpu calibration: {n_adv} advertised, {equiv:.1f} delivered"
             f" -> local[{n}]",
@@ -59,13 +73,16 @@ def effective_cpus() -> int:
         )
         return n
     except Exception as ex:  # calibration must never kill a bench
+        LAST = {"skipped": str(ex)}
         print(f"# cpu calibration skipped: {ex}", file=sys.stderr)
         return 0
 
 
 def apply_calibration() -> int:
     """Set SPARK_GRAFT_CPUS from measurement unless explicitly pinned."""
+    global LAST
     if "SPARK_GRAFT_CPUS" in os.environ:
+        LAST = {"pinned": int(os.environ["SPARK_GRAFT_CPUS"])}
         return 0
     n = effective_cpus()
     if n:

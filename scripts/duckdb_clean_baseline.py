@@ -30,9 +30,17 @@ def main() -> None:
     registry = load_all()
     con = duckdb_connect(sf_dir)
     out: dict[str, float] = {}
+    # bench.py's contention probe runs this script on a 3-canary subset
+    keep = (
+        set(os.environ["DUCKDB_BASELINE_QUERIES"].split(","))
+        if os.environ.get("DUCKDB_BASELINE_QUERIES")
+        else None
+    )
     for name in sorted(registry):
         spec = registry[name]
         if spec.oracle is None or spec.approx:
+            continue
+        if keep is not None and name not in keep:
             continue
         con.execute(spec.oracle).fetchall()  # cold/warm-up pass
         times = []
