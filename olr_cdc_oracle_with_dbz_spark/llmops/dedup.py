@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
 
 
 def _hash60(col):
@@ -414,7 +414,12 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rep.groupBy("pi", "pj")
         .applyInPandas(block_pair, "vec_a bigint, vec_b bigint, cosine double")
-        .transform(ordered, "vec_a", "vec_b", partitions=8)
+        # partitions=1: a multi-partition range sort samples its child, and
+        # here the child is the GEMM itself — the sampler would run every
+        # block product twice. One range partition needs no sampling
+        # (canonical.py); the pair list is threshold-filtered output,
+        # orders of magnitude below corpus size, so one sort task holds.
+        .transform(ordered, "vec_a", "vec_b", partitions=1)
     )
 
 
@@ -442,9 +447,11 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2c (EXACT): 16-bit SimHash document fingerprint.
 
     Token-count-weighted signed projection per bit; near-dup docs differ in
-    few bits (Hamming ball lookup at scale). ZERO-shuffle: SimHash is a
-    per-document map, so the whole signature computes in one vectorized
-    mapInPandas pass (plan-pinned in tests/test_plans.py).
+    few bits (Hamming ball lookup at scale). SimHash is a per-document map:
+    the whole signature computes in one vectorized mapInPandas pass, with
+    exactly one exchange — the presentation range partitioning, placed
+    BELOW the kernel so its sampler cannot re-execute it (plan-pinned in
+    tests/test_plans.py; presort_ranges in plans/canonical.py).
     """
     import hashlib
 
@@ -487,8 +494,10 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id", "text")
+        .transform(presort_ranges, "doc_id")  # pre-kernel: the range sampler
+        # placed after the kernel re-executes it (canonical.py)
         .mapInPandas(sim_batches, "doc_id bigint, simhash bigint")
-        .transform(ordered, "doc_id", partitions=8)
+        .sortWithinPartitions("doc_id")
     )
 
 

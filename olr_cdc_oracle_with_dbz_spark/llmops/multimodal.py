@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
 
 #: metadata struct carried beside every binary asset column
 ASSET_META_SCHEMA = "mime string, n_bytes long, width int, height int"
@@ -283,7 +283,10 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed width, byte-stat ordering min ≤ mean ≤ max, bounded mod-sum),
     so the driver hash covers the seam without a byte-level SQL decoder.
     """
-    assets = attach_binary_asset(Catalog(spark, sf_dir).documents)
+    assets = attach_binary_asset(Catalog(spark, sf_dir).documents).transform(
+        presort_ranges, "doc_id"  # pre-kernel: the range sampler placed
+        # after the decode kernel would run every decode twice (canonical.py)
+    )
     feats = extract_features(assets)
     f = F.col("features")
     return feats.select(
@@ -296,7 +299,7 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.element_at(f, 2) >= 0)
             & (F.element_at(f, 2) < 997)
         ).alias("stats_ok"),
-    ).transform(ordered, "doc_id", partitions=8)
+    ).sortWithinPartitions("doc_id")
 
 
 def resize_assets(

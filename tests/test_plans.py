@@ -292,8 +292,33 @@ def test_exact_stats_aggs_hash_only(spark, sf_dir, reg):
 def test_simhash_single_shuffle(spark, sf_dir, reg):
     """l2c: SimHash is a per-document MAP — since r6 the whole signature
     computes inside one mapInPandas pass, so the only exchange allowed is
-    the final ordered() range partitioning. A second exchange means an
+    the presentation range partitioning. A second exchange means an
     explode/aggregate crept back in."""
     plan = _plan(reg["l2c_simhash"].spark_fn(spark, sf_dir))
     assert "MapInPandas" in plan
     assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_python_kernels_above_range_exchange(spark, sf_dir, reg):
+    """r7 presort_ranges pin: for per-doc Python kernels the range exchange
+    must sit BELOW the kernel (plan prints parents first, so the kernel
+    node appears earlier in the string). With the exchange ABOVE, its
+    boundary sampler re-executes the whole kernel — measured 3.9 s → 0.6 s
+    for l7 at sf1 when the exchange moved below (plans/canonical.py)."""
+    for name in ("l7_fingerprint", "l2c_simhash", "l5d_redact_pii",
+                 "m2_multimodal_features"):
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "rangepartitioning" in plan, name
+        assert plan.index("MapInPandas") < plan.index("rangepartitioning"), name
+
+
+def test_l2d_sort_needs_no_sampling(spark, sf_dir, reg):
+    """l2d: the presentation sort's child is the GEMM cogroup — a
+    multi-partition range sort would sample it, running every block
+    product twice. A single range partition plans no sampling pass."""
+    plan = _plan(reg["l2d_embedding_neardup"].spark_fn(spark, sf_dir))
+    # repartitionByRange(1, ...) plans as a sample-free SinglePartition
+    # exchange; a rangepartitioning exchange here means sampling came back
+    assert "Exchange SinglePartition" in plan
+    assert "rangepartitioning" not in plan, plan
