@@ -215,8 +215,14 @@ _L2B_ORACLE = f"""
     """
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered trigram-Jaccard pair set (shared by l2b and l2e)."""
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, width: int | None = None
+) -> DataFrame:
+    """Unordered trigram-Jaccard pair set (shared by l2b and l2e).
+
+    ``width``: partition count for the candidate-pair join (defaults to
+    the pool's defaultParallelism; see the width comment below).
+    """
     d = Catalog(spark, sf_dir).documents
     # docs with < 3 tokens produce zero shingles (cross-engine contract —
     # see the oracle CTE comment); shingles reduced to 64-bit xxhash BEFORE
@@ -267,6 +273,19 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash) is high-cardinality, so sort-merge wastes two sorts and
     # broadcast is impossible at corpus scale — a shuffled hash join is
     # the right strategy at every scale factor.
+    #
+    # Width: this join emits Σ k(k-1)/2 co-occurrence rows (44M at sf1
+    # from 2.6M shingle rows) — the ONE post-shuffle stage in the repo
+    # whose work is candidate-pair-sized, not input-sized. At the global
+    # spark.sql.shuffle.partitions (sized for MB-scale exchanges) it runs
+    # 8-way on a 25-thread pool; an explicit repartition on the join key
+    # to full core width halved the query at sf1 (19.5 s → 9.9 s). The
+    # repartition IS the join's required distribution, so no extra
+    # exchange is added. On a cluster, width scales with executor count
+    # via defaultParallelism.
+    if width is None:
+        width = max(spark.sparkContext.defaultParallelism, 8)
+    tri = tri.repartition(width, "shingle", "lang")
     a, b = tri.alias("a").hint("shuffle_hash"), tri.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
@@ -302,7 +321,11 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same language) — the exact-verification stage of a dedup pipeline; at
     scale the LSH candidates (l2_minhash_lsh) gate which pairs reach it.
     """
-    return _jaccard_pairs(spark, sf_dir).transform(ordered, "doc_a", "doc_b", partitions=8)
+    # partitions=1: the sort's child is the pair aggregation — a sampled
+    # range sort re-executes the final agg over the 44M-row candidate set;
+    # the single partition needs no sampling and the threshold-filtered
+    # pair list (233k rows at sf1) sorts comfortably on one task.
+    return _jaccard_pairs(spark, sf_dir).transform(ordered, "doc_a", "doc_b", partitions=1)
 
 
 _COS_TAU = 0.4  # synthetic embeddings are near-orthogonal (max pair ≈ 0.51)
