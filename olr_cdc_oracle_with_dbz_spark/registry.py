@@ -82,75 +82,80 @@ def register(
 #: order. The grading driver checks a bounded (~50-query) prefix of the
 #: registry per round, so the prefix is curated. As of round 5 all 103
 #: oracle-backed queries are union-green across rounds with zero ever-red;
-#: r5's window was 50/50 green (second consecutive fully-green round).
-#: Round 6 closes the verification tail (round-5 verdict item 1): the 9
-#: queries whose last driver row dates to r1–r3 — they sat past the r5
-#: window edge — go FIRST (q01–q04 scan/round-trip family, l7, l8, m1, m2),
-#: followed by canaries for code touched THIS round (q27 covariance
-#: re-render, q42/q47 re-pin, m2's new BMP/PPM decode rides the m2 row) and
-#: the standing q22/q52 canaries. The remainder of the window re-confirms
-#: the r4-green families (scalar functions, UDFs, CDC batch, streaming
-#: batch-equiv, dedup/similarity/text) that r5's rotation displaced.
+#: r6's window was 50/50 green (third consecutive fully-green round) and
+#: the r4/r5/r6 union covered all 103 oracle queries. Round 7 keeps the
+#: rotation honest (r6 verdict item 8: no query's latest green row older
+#: than 3 rounds): the 12 queries whose latest row is r4 go FIRST, then
+#: canaries for code touched THIS round (the presort_ranges kernels l7 /
+#: l2c / m2 and the widened l2b join + l2e on top of it; l5d and l2d are
+#: already in the r4 group), the standing q22/q52 canaries, and then the
+#: 41-query r5-green block (projections, joins, aggregates, windows,
+#: setops, subqueries) that r6's window displaced.
 DRIVER_FIRST: tuple[str, ...] = (
-    # the 9 never-rechecked-since-r3 queries — verdict r5 item 1
-    "q01_scan_full",
-    "q02_scan_pruned",
-    "q03_csv_roundtrip",
-    "q03b_json_roundtrip",
-    "q04_parquet_roundtrip",
+    # the 12 queries whose latest driver row is r4 — rotate them in first
+    "l2d_embedding_neardup",
+    "l2fv_minhash_ml_recall",
+    "l4bv_bruteforce_agreement",
+    "l4dv_ann_brp_recall",
+    "l5b_lang_id",
+    "l5d_redact_pii",
+    "l5e_boilerplate",
+    "l9_train_split",
+    "l9b_stratified_sample",
+    "q10b_null_safe_eq",
+    "q23_count_distinct",
+    "q49_cte",
+    # canaries for round-7 code changes (presort_ranges / join width)
     "l7_fingerprint",
-    "l8_curation_pipeline",
-    "m1_multimodal_meta",
+    "l2c_simhash",
     "m2_multimodal_features",
-    # canaries for round-6 code changes
-    "q27_stats_aggs",
-    "q26_having",
-    "q42_math_funcs",
-    "q47_scalar_subquery",
+    "l2b_ngram_jaccard",
+    "l2e_dup_clusters",
     # standing canaries
     "q22_hash_agg_tpch_q1",
     "q52_upsert_compaction",
-    # r4-green families displaced by the r5 rotation: scalar functions
-    "q40_string_funcs",
-    "q41_datetime_funcs",
-    "q43_array_funcs",
-    "q43b_explode",
-    "q43c_higher_order",
-    "q44_struct_map",
-    "q44b_pivot",
-    "q44c_unpivot",
-    "q45_json_funcs",
-    "q45b_from_to_json",
-    "q46_hash_misc",
-    # UDF surface
-    "u1_python_udf",
-    "u2_pandas_udf",
-    "u3_apply_in_pandas",
-    "u4_udaf_weighted_avg",
-    "u5_tokenize_udtf",
-    # CDC batch family
-    "q50_envelope_parse",
-    "q50b_envelope_evolved",
-    "q51_unwrap",
-    "q53_snapshot_incremental",
-    "q54_changelog_stats",
-    # streaming batch-equivalents
-    "s2_tumbling_window",
-    "s3_sliding_window",
-    "s4_session_window",
-    # LLM-pipeline exact + gated approx
-    "l1_exact_dedup",
-    "l2v_minhash_recall",
-    "l2b_ngram_jaccard",
-    "l2c_simhash",
-    "l2e_dup_clusters",
-    "l3_cosine_topk",
-    "l4v_ann_lsh_recall",
-    "l4cv_ann_ivf_recall",
-    "l5_text_stats",
-    "l5c_quality_score",
-    "l6_tfidf",
-    "l9_train_split",
+    # r5-green families displaced by the r6 rotation
+    "q05_arith_projection",
+    "q06_filter_bool",
+    "q07_between_date",
+    "q08_in_list",
+    "q09_like_regex",
+    "q10_null_semantics",
+    "q11_case_when",
+    "q12_cast_matrix",
+    "q13_inner_join",
+    "q14_broadcast_join",
+    "q15_outer_joins",
+    "q15b_full_outer",
+    "q16_semi_join",
+    "q17_anti_join",
+    "q18_range_join",
+    "q19_cross_join",
+    "q20_multiway_join",
+    "q21_asof_join",
+    "q21b_funnel",
+    "q21c_retention",
+    "q24_global_agg",
+    "q25_rollup",
+    "q25b_cube",
+    "q25c_grouping_sets",
+    "q28_percentile",
+    "q29_distinct_exact_vs_approx",
+    "q29b_approx_aggs",
+    "q30_filtered_agg",
+    "q31_ranking",
+    "q31b_distribution_ranks",
+    "q32_lag_lead",
+    "q33_frames",
+    "q34_topk_per_group",
+    "q35_multikey_sort",
+    "q36_limit_topk",
+    "q37_union",
+    "q38_intersect",
+    "q38b_except",
+    "q39_distinct",
+    "q48_exists_subquery",
+    "q48b_in_subquery",
 )
 
 _loaded = False
