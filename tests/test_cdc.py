@@ -262,3 +262,33 @@ def test_tombstone_blocks_resurrection_across_batches(spark, tmp_path):
     assert 4 not in {r["id"] for r in table.read().collect()}, (
         "deleted key resurrected by an older replayed event"
     )
+
+
+def test_clustered_compaction_equivalent(spark, sf_dir):
+    """compact_latest_clustered must reproduce compact_latest's
+    tombstone-retaining output exactly — same survivors, same tie-breaks —
+    on the golden fixture (same-SCN ties, intra-txn ssn ordering, deletes)
+    AND the generated volume corpus (real per-key histories)."""
+    import tempfile
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.genload import generate_envelope_lines
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(16))
+    unw = E.unwrap(_env(spark))
+    a = E.compact_latest(unw, "id", keep_tombstones=True)
+    b = E.compact_latest_clustered(unw, "id", bucket, 4)
+    assert norm(a) == norm(b)
+
+    with tempfile.TemporaryDirectory() as work:
+        generate_envelope_lines(spark, sf_dir, f"{work}/in")
+        env = E.source_filter(
+            E.parse_envelope(spark.read.text(f"{work}/in"), "value")
+        )
+        unw2 = E.unwrap(env)
+        a2 = E.compact_latest(unw2, "id", keep_tombstones=True)
+        b2 = E.compact_latest_clustered(unw2, "id", bucket, 8)
+        assert norm(a2) == norm(b2)
