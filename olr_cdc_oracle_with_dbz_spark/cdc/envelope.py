@@ -136,6 +136,26 @@ def quarantine_malformed(
     return good, bad
 
 
+def _latest_first_order(cols: set[str]) -> list[Column]:
+    """The latest-event-first total order shared by every compaction form
+    (see :func:`compact_latest` for the tie-break rationale). Every
+    column after ``_scn`` is optional — an absent column participates
+    exactly like an all-NULL one."""
+    order = [F.col("_scn").desc()]
+    if "_ssn" in cols:
+        order.append(F.col("_ssn").desc_nulls_last())
+    if "op" in cols:
+        order.append(
+            F.when(F.col("op") == "d", 2)
+            .when(F.col("op") == "u", 1)
+            .otherwise(0)
+            .desc()
+        )
+    if "_rowid" in cols:
+        order.append(F.col("_rowid").desc())
+    return order
+
+
 def compact_latest(
     unwrapped: DataFrame, key: str = PK, keep_tombstones: bool = False
 ) -> DataFrame:
@@ -173,19 +193,7 @@ def compact_latest(
     each key participates in the ordering only when the column is present
     — an absent column behaves exactly like an all-NULL one.
     """
-    cols = set(unwrapped.columns)
-    order = [F.col("_scn").desc()]
-    if "_ssn" in cols:
-        order.append(F.col("_ssn").desc_nulls_last())
-    if "op" in cols:
-        order.append(
-            F.when(F.col("op") == "d", 2)
-            .when(F.col("op") == "u", 1)
-            .otherwise(0)
-            .desc()
-        )
-    if "_rowid" in cols:
-        order.append(F.col("_rowid").desc())
+    order = _latest_first_order(set(unwrapped.columns))
     w = Window.partitionBy(key).orderBy(*order)
     latest = unwrapped.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
@@ -201,3 +209,35 @@ def compact_latest(
     return latest.filter(~F.col("__deleted")).drop(
         "_rn", "__deleted", "op", "_txid", "_rowid", "_ssn"
     )
+
+
+def compact_latest_clustered(
+    unwrapped: DataFrame, key: str, cluster_col: Column, n_parts: int
+) -> DataFrame:
+    """:func:`compact_latest` (tombstone-retaining form) under a
+    cluster-aligned single shuffle.
+
+    ``cluster_col`` must be a pure function of ``key`` (a bucket hash), so
+    key groups never span clusters and latest-per-key within a cluster ≡
+    latest-per-key globally. One exchange on the cluster id replaces the
+    per-key window exchange; the window then orders ``(key, latest-first)``
+    WITHIN each cluster — its required distribution is satisfied, so no
+    second exchange — and latest-per-key is the first row of each key run
+    (``lag(key)`` changes). The output stays clustered AND key-sorted, so
+    a ``partitionBy(cluster)`` write emits one key-ordered file per
+    cluster instead of tasks×clusters fragments, and subsequent bucket
+    read-backs prune via per-file min/max key stats. Tie-break is the
+    shared :func:`_latest_first_order` — identical to ``compact_latest``
+    (asserted equivalent in tests/test_cdc.py).
+    """
+    order = _latest_first_order(set(unwrapped.columns))
+    df = unwrapped.withColumn("_pbc", cluster_col).repartition(
+        max(n_parts, 1), F.col("_pbc")
+    )
+    w = Window.partitionBy("_pbc").orderBy(F.col(key).asc(), *order)
+    # eqNullSafe: run-start detection that also collapses NULL-key runs
+    # exactly like the per-key window would
+    latest = df.withColumn("_prev", F.lag(key).over(w)).filter(
+        ~F.col("_prev").eqNullSafe(F.col(key))
+    )
+    return latest.drop("_prev", "_pbc", "op", "_txid", "_rowid")

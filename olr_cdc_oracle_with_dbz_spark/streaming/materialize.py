@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from olr_cdc_oracle_with_dbz_spark.cdc.envelope import PK, compact_latest, unwrap
+from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
+    PK,
+    compact_latest,
+    compact_latest_clustered,
+    unwrap,
+)
 
 _CURRENT = "_CURRENT"
 _PB = "pb"  # bucket partition column
@@ -173,12 +178,27 @@ class ParquetUpsertTable:
         manifest = self._manifest()
         buckets = dict(manifest["buckets"]) if manifest else {}
         src = batch
-        bases = [
-            self.spark.read.parquet(os.path.join(self.table_dir, buckets[str(b)]))
-            .withColumn(_PB, F.lit(b).cast("bigint"))
-            for b in touched
-            if str(b) in buckets
-        ]
+        # One read per VERSION dir (partition discovery restores pb from
+        # the _PB=k path segments), not one read+union per bucket: a
+        # steady-state merge touches most buckets, and 16 separate parquet
+        # reads union'd pairwise cost more in listing/footer/plan work
+        # than the merge's actual dataflow (measured: the pre-populated
+        # tail merge spent more time assembling the 16-way union than
+        # compacting it).
+        by_version: dict[str, list[int]] = {}
+        for b in touched:
+            rel = buckets.get(str(b))
+            if rel is not None:
+                by_version.setdefault(rel.rsplit(f"/{_PB}=", 1)[0], []).append(b)
+        bases = []
+        for version, bs in by_version.items():
+            vdir = os.path.join(self.table_dir, version)
+            df = (
+                self.spark.read.option("basePath", vdir)
+                .parquet(*[os.path.join(vdir, f"{_PB}={b}") for b in bs])
+                .withColumn(_PB, F.col(_PB).cast("bigint"))
+            )
+            bases.append(df)
         if bases:
             base = bases[0]
             for extra in bases[1:]:
@@ -187,7 +207,14 @@ class ParquetUpsertTable:
             # materialized at, so a replayed/late older event can never
             # overwrite newer state or resurrect a deleted key.
             src = base.unionByName(batch, allowMissingColumns=True)
-        new_state = compact_latest(src, self.key, keep_tombstones=True)
+        # bucket-aligned compaction: one exchange on the bucket id (vs the
+        # per-key window exchange), output clustered+key-sorted so the
+        # partitionBy write emits ONE key-ordered file per touched bucket
+        # instead of tasks×buckets fragments — the read-back cost every
+        # later micro-batch pays (envelope.compact_latest_clustered)
+        new_state = compact_latest_clustered(
+            src, self.key, F.col(_PB), len(touched)
+        )
         out = os.path.join(self.table_dir, label)
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
