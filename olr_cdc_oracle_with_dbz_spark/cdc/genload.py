@@ -21,7 +21,11 @@ from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 
 
 def generate_envelope_lines(
-    spark: SparkSession, sf_dir: str, out_dir: str, files: int = 16
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    files: int = 16,
+    hot_key_mod: int | None = None,
 ) -> int:
     """Write a deterministic envelope-event corpus; returns event count.
 
@@ -30,12 +34,29 @@ def generate_envelope_lines(
     per-key histories. All JSON rendering happens in Spark (codegen'd
     ``to_json``), partitioned into ``files`` so the streaming reader can
     parallelize file discovery like a real spooldir.
+
+    ``hot_key_mod=K`` redirects the events of every K-th updating row
+    (keys ≡ 1 mod 3 with key % K == 0) onto primary key 1 — one hot row
+    receiving ~2/(3K·1.43) of the whole event stream, every event under
+    its own SCN — the skewed-ingest shape a popular entity produces in
+    production CDC. K=7 puts ~5% of all events on the one key.
     """
     o = Catalog(spark, sf_dir).orders
+    # the image's primary key; hot_key_mod redirects selected rows' events
+    # onto key 1 while SCN/txn identity stays derived from the ORIGINAL
+    # orderkey (every hot event keeps a distinct SCN — a real hot row's
+    # history is many commits, not one)
+    id_col = F.col("o_orderkey")
+    if hot_key_mod:
+        id_col = F.when(
+            (F.col("o_orderkey") % 3 == 1)
+            & (F.col("o_orderkey") % hot_key_mod == 0),
+            F.lit(1),
+        ).otherwise(F.col("o_orderkey"))
 
     def image(price_col):
         return F.struct(
-            F.col("o_orderkey").cast("int").alias("id"),
+            id_col.cast("int").alias("id"),
             F.col("o_orderpriority").alias("name"),
             F.lit(None).cast("string").alias("description"),
             price_col.cast("string").alias("price"),  # decimal-as-string (README.md:823)
