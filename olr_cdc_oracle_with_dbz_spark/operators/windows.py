@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered, presort_ranges
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -35,14 +35,23 @@ def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(by_price).alias("rnk"),
-        F.dense_rank().over(by_price).alias("drnk"),
-        F.row_number().over(total).alias("rn"),
-        F.ntile(4).over(total).alias("quart"),
-    ).transform(ordered, "o_custkey", "o_orderkey", partitions=8)
+    # range-partition on the window key BEFORE the windows: range
+    # clustering satisfies the window's required distribution (no hash
+    # exchange), the presentation sort needs no post-window range
+    # exchange whose sampler would re-run both windows, and partitions
+    # are already in final order (presort_ranges, plans/canonical.py).
+    return (
+        o.transform(presort_ranges, "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+            F.row_number().over(total).alias("rn"),
+            F.ntile(4).over(total).alias("quart"),
+        )
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
 
 
 @register(
@@ -65,14 +74,19 @@ def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_id"),
-        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
-        F.first("event_type").over(w).alias("first_type"),
-        F.last("event_type").over(whole).alias("last_type"),
-    ).transform(ordered, "user_id", "event_id", partitions=8)
+    # range-before-window: see q31_ranking
+    return (
+        ev.transform(presort_ranges, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_id"),
+            F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(whole).alias("last_type"),
+        )
+        .sortWithinPartitions("user_id", "event_id")
+    )
 
 
 @register(
@@ -107,12 +121,18 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-10, Window.currentRow)
     )
     rend = lambda c: F.round(c.cast("double") / 1_000_000, 6)  # noqa: E731
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        rend(F.sum(mic_price).over(running)).alias("running_rev"),
-        rend(F.sum(mic_price).over(near)).alias("near_rev"),
-    ).transform(ordered, "o_custkey", "o_orderkey", partitions=8)
+    # range-before-window: see q31_ranking (measured 2.95 s -> 1.07 s at
+    # sf3 — the post-window range sampler was re-running both windows)
+    return (
+        o.transform(presort_ranges, "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            rend(F.sum(mic_price).over(running)).alias("running_rev"),
+            rend(F.sum(mic_price).over(near)).alias("near_rev"),
+        )
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
 
 
 @register(
@@ -134,11 +154,13 @@ def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber")
     )
+    # range-before-window: see q31_ranking
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        li.transform(presort_ranges, "l_orderkey")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
     )
 
 
