@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import presort_ranges, ordered
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -231,8 +231,12 @@ def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object would re-parse likewise.
     """
     ev = Catalog(spark, sf_dir).events
+    # range-partition BEFORE the parse: a sampled range sort above it
+    # would run the Jackson parse twice (presort_ranges)
     return (
-        ev.select(
+        ev.select("event_id", "props")
+        .transform(presort_ranges, "event_id")
+        .select(
             "event_id", F.from_json("props", "k bigint, missing string").alias("_p")
         )
         .select(
@@ -240,7 +244,7 @@ def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_p.k").alias("k_val"),
             F.col("_p.missing").alias("missing"),
         )
-        .transform(ordered, "event_id", partitions=8)
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -398,12 +402,19 @@ def q43c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(30,9)"),
         lambda acc, x: (acc + x).cast("decimal(30,9)"),
     )
-    return e.select(
-        "vec_id",
-        F.round(l1.cast("double"), 6).alias("l1_head"),
-        F.size(F.filter(emb, lambda x: x.cast("double") > 0)).alias("n_pos"),
-        F.round(zip_dot.cast("double"), 6).alias("zip_dot"),
-    ).transform(ordered, "vec_id", partitions=8)
+    # range-partition BEFORE the lambdas: interpreted HOF evaluation is
+    # the dominant cost, and a sampled range sort above it runs it twice
+    return (
+        e.select("vec_id", "embedding")
+        .transform(presort_ranges, "vec_id")
+        .select(
+            "vec_id",
+            F.round(l1.cast("double"), 6).alias("l1_head"),
+            F.size(F.filter(emb, lambda x: x.cast("double") > 0)).alias("n_pos"),
+            F.round(zip_dot.cast("double"), 6).alias("zip_dot"),
+        )
+        .sortWithinPartitions("vec_id")
+    )
 
 
 @register(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -53,7 +53,8 @@ def u1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(net_udf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        # partitions=1: a sampled range sort would run the Python UDF twice
+    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=1)
 
 
 def _net_price_series(price: pd.Series, discount: pd.Series) -> pd.Series:
@@ -74,11 +75,18 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (Arrow) pandas UDF — the sanctioned Python fast path."""
     net_pudf = pandas_udf(_net_price_series, "double")
     li = Catalog(spark, sf_dir).lineitem
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
-    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+    # range-partition BEFORE the pandas UDF: the sampled range sort placed
+    # after it re-runs the whole Arrow round-trip (presort_ranges)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .transform(presort_ranges, "l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
+        )
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
 
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -121,7 +129,8 @@ def u3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "l_orderkey")
         .groupBy("l_orderkey")
         .applyInPandas(_normalize_group, "l_orderkey bigint, l_linenumber int, qty_dev double")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        # partitions=1: sampling would dispatch every Python group twice
+        .transform(ordered, "l_orderkey", "l_linenumber", partitions=1)
     )
 
 

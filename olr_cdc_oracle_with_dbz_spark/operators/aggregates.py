@@ -21,6 +21,7 @@ from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     _micros,
     avg6,
     ordered,
+    presort_ranges,
     render,
     render_fixed,
     sql_avg6,
@@ -268,15 +269,20 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 q27 rework; the HAVING compares in the same exact integer domain.
     """
     li = Catalog(spark, sf_dir).lineitem
+    # range clustering on the (high-cardinality) group key satisfies the
+    # aggregation's required distribution AND is the presentation order —
+    # no post-agg range exchange whose sampler would re-run the final agg
     return (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_quantity")
+        .transform(presort_ranges, "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.sum(_micros("l_quantity")).alias("_sq"))
         .filter(F.col("_sq") > 150 * 1_000_000)
         .select(
             "l_orderkey",
             F.round(F.col("_sq").cast("double") / 1_000_000, 6).alias("sum_qty"),
         )
-        .transform(ordered, "l_orderkey", partitions=8)
+        .sortWithinPartitions("l_orderkey")
     )
 
 

@@ -280,13 +280,16 @@ def test_scalar_subquery_two_scans(spark, sf_dir, reg):
 def test_exact_stats_aggs_hash_only(spark, sf_dir, reg):
     """q26/q27 (r6 integer-moment rework): one scan, hash aggregation
     (long/decimal(38,0) sums stay in HashAggregate — a SortAggregate
-    means an accumulator type fell off the hash path), and exactly two
-    exchanges: the aggregation shuffle + the presentation range sort."""
-    for name in ("q27_stats_aggs", "q26_having"):
+    means an accumulator type fell off the hash path). q27 has two
+    exchanges (aggregation shuffle + presentation range sort); q26 has
+    exactly ONE since r7 — the pre-agg range clustering on the group key
+    serves both the aggregation's required distribution and the
+    presentation order (presort_ranges)."""
+    for name, n_exchanges in (("q27_stats_aggs", 2), ("q26_having", 1)):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
         assert plan.count("lineitem.parquet") == 1, name
         assert "SortAggregate" not in plan, name
-        assert plan.count("Exchange") == 2, (name, plan.count("Exchange"))
+        assert plan.count("Exchange") == n_exchanges, (name, plan.count("Exchange"))
 
 
 def test_simhash_single_shuffle(spark, sf_dir, reg):
