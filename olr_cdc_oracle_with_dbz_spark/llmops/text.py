@@ -60,15 +60,22 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(ts, lambda x: F.array_contains(stop_arr, x)))
-    return d.select(
-        "doc_id",
-        F.size(ts).alias("n_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
-        "n_chars",
-        F.size(F.array_distinct(ts)).alias("n_distinct"),
-        F.round(F.col("n_chars").cast("double") / F.size(ts), 6).alias("chars_per_token"),
-        F.round(n_stop.cast("double") / F.size(ts), 6).alias("stopword_ratio"),
-    ).transform(ordered, "doc_id", partitions=8)
+    # range-partition BEFORE the tokenize projection: the sampled range
+    # sort above it evaluated the split/regex expressions twice
+    return (
+        d.select("doc_id", "text", "n_chars")
+        .transform(presort_ranges, "doc_id")
+        .select(
+            "doc_id",
+            F.size(ts).alias("n_tokens"),
+            F.size(bpe).alias("n_bpe_tokens"),
+            "n_chars",
+            F.size(F.array_distinct(ts)).alias("n_distinct"),
+            F.round(F.col("n_chars").cast("double") / F.size(ts), 6).alias("chars_per_token"),
+            F.round(n_stop.cast("double") / F.size(ts), 6).alias("stopword_ratio"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -114,9 +121,15 @@ def l5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] == best, "fr")
         .otherwise("zh")
     )
-    return d.select(
-        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
-    ).transform(ordered, "doc_id", partitions=8)
+    # range-before-tokenize: see l5_text_stats
+    return (
+        d.select("doc_id", "lang", "text")
+        .transform(presort_ranges, "doc_id")
+        .select(
+            "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+        )
+        .sortWithinPartitions("doc_id")
+    )
 
 
 @register(
@@ -145,7 +158,13 @@ def l5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.size(F.array_distinct(ts)).cast("double") / n * 2, F.lit(1.0)) * 0.3
         + F.when((F.size(ts) >= 5) & (F.col("n_chars") >= 20), 0.2).otherwise(0.0)
     )
-    return d.select("doc_id", F.round(quality, 6).alias("quality")).transform(ordered, "doc_id", partitions=8)
+    # range-before-tokenize: see l5_text_stats
+    return (
+        d.select("doc_id", "text", "n_chars")
+        .transform(presort_ranges, "doc_id")
+        .select("doc_id", F.round(quality, 6).alias("quality"))
+        .sortWithinPartitions("doc_id")
+    )
 
 
 _KEYWORDS = ("spark", "join", "merge", "window", "hash")
