@@ -316,6 +316,22 @@ def test_python_kernels_above_range_exchange(spark, sf_dir, reg):
         assert plan.index("MapInPandas") < plan.index("rangepartitioning"), name
 
 
+def test_window_family_single_range_exchange(spark, sf_dir, reg):
+    """r7 range-before-window pin: the window queries and the tokenize
+    projections run over ONE range exchange on the partition/presentation
+    key — range clustering satisfies the window/agg required distribution,
+    so a hash exchange OR a second (post-compute, sampled) range exchange
+    is a regression back to double execution."""
+    for name in ("q31_ranking", "q32_lag_lead", "q33_frames",
+                 "q34_topk_per_group", "q26_having",
+                 "l5_text_stats", "l5b_lang_id", "l5c_quality_score",
+                 "q45_json_funcs", "q43c_higher_order"):
+        plan = _plan(reg[name].spark_fn(spark, sf_dir))
+        assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert plan.count("rangepartitioning") == 1, name
+
+
 def test_l2d_sort_needs_no_sampling(spark, sf_dir, reg):
     """l2d: the presentation sort's child is the GEMM cogroup — a
     multi-partition range sort would sample it, running every block
