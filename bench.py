@@ -376,13 +376,27 @@ def main() -> None:
     )
     with open(os.path.join(out_dir, fname), "w") as f:
         json.dump(details, f, indent=1)
-    # ONE compact JSON line (<500 chars), the FINAL stdout line. The driver
-    # keeps only a 2000-char stdout tail; rounds 1-6 embedded the per-query
-    # map here and every BENCH_rN.json came back "parsed": null because the
-    # line outran the tail. Totals only; the per-query map is committed in
-    # BENCH_DETAILS.json (and the subset sidecar for BENCH_QUERIES runs).
+    # ONE compact JSON line (<1500 chars — the driver keeps a 2000-char
+    # stdout tail), the FINAL stdout line. Rounds 1-6 embedded the
+    # per-query map here and every BENCH_rN.json came back "parsed": null
+    # because the line outran the tail. Totals only; the per-query map is
+    # committed in BENCH_DETAILS.json (and the subset sidecar for
+    # BENCH_QUERIES runs). Never abort after the work is done: if the line
+    # somehow outgrows the tail, warn and emit a minimal fallback line the
+    # driver can still parse.
     line = json.dumps(result, separators=(",", ":"))
-    assert len(line) < 1500, f"bench line too long for driver tail: {len(line)}"
+    if len(line) >= 1500:
+        print(
+            f"WARN: bench line {len(line)} chars >= 1500; emitting "
+            "minimal fallback line",
+            file=sys.stderr,
+        )
+        minimal = {
+            k: result[k]
+            for k in ("metric", "value", "unit", "sf")
+            if k in result
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
     print(line)
 
 

@@ -235,9 +235,19 @@ def compact_latest_clustered(
         max(n_parts, 1), F.col("_pbc")
     )
     w = Window.partitionBy("_pbc").orderBy(F.col(key).asc(), *order)
-    # eqNullSafe: run-start detection that also collapses NULL-key runs
-    # exactly like the per-key window would
-    latest = df.withColumn("_prev", F.lag(key).over(w)).filter(
-        ~F.col("_prev").eqNullSafe(F.col(key))
+    # Run-start detection must distinguish "no previous row" (partition
+    # start) from "previous row had a NULL key": lag(key) is NULL in both
+    # cases, and eqNullSafe(NULL, NULL) would swallow a NULL-key run that
+    # opens the partition (NULLs sort first under asc). ``_mark`` is a
+    # lag over a non-null literal — NULL exactly at the partition start —
+    # so the first row is always a run start, matching compact_latest's
+    # one-row-per-NULL-key-group semantics.
+    latest = (
+        df.withColumn("_prev", F.lag(key).over(w))
+        .withColumn("_mark", F.lag(F.lit(0)).over(w))
+        .filter(
+            F.col("_mark").isNull()
+            | ~F.col("_prev").eqNullSafe(F.col(key))
+        )
     )
-    return latest.drop("_prev", "_pbc", "op", "_txid", "_rowid")
+    return latest.drop("_prev", "_mark", "_pbc", "op", "_txid", "_rowid")

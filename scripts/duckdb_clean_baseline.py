@@ -50,17 +50,25 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_clean_exact_total_sec",
-                "value": round(sum(out.values()), 3),
-                "unit": "sec",
-                "queries": out,
-                "sf": sf,
-            }
+    # a typo'd or approx/oracle-less requested name would otherwise be
+    # silently skipped, making a partial timing map look like a fast
+    # full canary result
+    missing = sorted(keep - out.keys()) if keep is not None else []
+    if missing:
+        print(
+            f"WARN: requested baseline queries produced no timing: {missing}",
+            file=sys.stderr,
         )
-    )
+    payload = {
+        "metric": "duckdb_clean_exact_total_sec",
+        "value": round(sum(out.values()), 3),
+        "unit": "sec",
+        "queries": out,
+        "sf": sf,
+    }
+    if missing:
+        payload["missing"] = missing
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -184,9 +184,17 @@ def main() -> None:
         eb = sum(result[lb]["engine"][n] for n in common)
         da = sum(result[la]["duckdb_arrow"][n] for n in common)
         db = sum(result[lb]["duckdb_arrow"][n] for n in common)
-        result[f"marginal_ratio_vs_arrow_{la}_{lb}"] = round((eb - ea) / (db - da), 3)
+        # empty common set or a ~zero DuckDB delta would divide by zero
+        # AFTER all measurement work — emit null instead of crashing
+        key = f"marginal_ratio_vs_arrow_{la}_{lb}"
+        if not common or abs(db - da) < 1e-9:
+            result[key] = None
+        else:
+            result[key] = round((eb - ea) / (db - da), 3)
     # legacy key: the first pair (sf0.1 -> sf1), unchanged meaning
-    result["marginal_ratio_vs_arrow"] = result["marginal_ratio_vs_arrow_sf0.1_sf1"]
+    result["marginal_ratio_vs_arrow"] = result.get(
+        "marginal_ratio_vs_arrow_sf0.1_sf1"
+    )
     print(json.dumps(result))
 
 

@@ -283,6 +283,17 @@ def test_clustered_compaction_equivalent(spark, sf_dir):
     b = E.compact_latest_clustered(unw, "id", bucket, 4)
     assert norm(a) == norm(b)
 
+    # NULL-key rows: compact_latest treats NULL as one key group and keeps
+    # exactly one survivor; the clustered form must too (NULLs sort first,
+    # so the NULL run opens its cluster partition — the regression case
+    # where run-start detection via lag(key) alone dropped the whole run).
+    nullk = unw.limit(3).withColumn("id", F.lit(None).cast(unw.schema["id"].dataType))
+    mixed = unw.unionByName(nullk)
+    an = E.compact_latest(mixed, "id", keep_tombstones=True)
+    bn = E.compact_latest_clustered(mixed, "id", bucket, 4)
+    assert norm(an) == norm(bn)
+    assert bn.filter(F.col("id").isNull()).count() == 1
+
     with tempfile.TemporaryDirectory() as work:
         generate_envelope_lines(spark, sf_dir, f"{work}/in")
         env = E.source_filter(
