@@ -92,60 +92,8 @@ def register(
 #: 41-query r5-green block (projections, joins, aggregates, windows,
 #: setops, subqueries) that r6's window displaced.
 DRIVER_FIRST: tuple[str, ...] = (
-    # the 12 queries whose latest driver row is r4 — rotate them in first
-    "l2d_embedding_neardup",
-    "l2fv_minhash_ml_recall",
-    "l4bv_bruteforce_agreement",
-    "l4dv_ann_brp_recall",
-    "l5b_lang_id",
-    "l5d_redact_pii",
-    "l5e_boilerplate",
-    "l9_train_split",
-    "l9b_stratified_sample",
-    "q10b_null_safe_eq",
-    "q23_count_distinct",
-    "q49_cte",
-    # canaries for round-7 code changes (presort_ranges / join width)
-    "l7_fingerprint",
-    "l2c_simhash",
-    "m2_multimodal_features",
-    "l2b_ngram_jaccard",
-    "l2e_dup_clusters",
-    # standing canaries
-    "q22_hash_agg_tpch_q1",
-    "q52_upsert_compaction",
-    # r5-green families displaced by the r6 rotation
-    "q05_arith_projection",
-    "q06_filter_bool",
-    "q07_between_date",
-    "q08_in_list",
-    "q09_like_regex",
-    "q10_null_semantics",
-    "q11_case_when",
-    "q12_cast_matrix",
-    "q13_inner_join",
-    "q14_broadcast_join",
-    "q15_outer_joins",
-    "q15b_full_outer",
-    "q16_semi_join",
-    "q17_anti_join",
-    "q18_range_join",
-    "q19_cross_join",
-    "q20_multiway_join",
-    "q21_asof_join",
-    "q21b_funnel",
-    "q21c_retention",
-    "q24_global_agg",
-    "q25_rollup",
-    "q25b_cube",
-    "q25c_grouping_sets",
-    "q28_percentile",
-    "q29_distinct_exact_vs_approx",
-    "q29b_approx_aggs",
-    "q30_filtered_agg",
-    "q31_ranking",
-    "q31b_distribution_ranks",
-    "q32_lag_lead",
+    # r8 rotation: the 10 queries whose latest driver green is r5 (3 rounds
+    # stale) go first — VERDICT r7 next-round item 5
     "q33_frames",
     "q34_topk_per_group",
     "q35_multikey_sort",
@@ -156,6 +104,61 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q39_distinct",
     "q48_exists_subquery",
     "q48b_in_subquery",
+    # canaries for r8 code changes (clustered-compaction NULL-key fix,
+    # l2b kernel work, q13 bucketed twin, HOF/json perf attempts)
+    "q52_upsert_compaction",
+    "l2b_ngram_jaccard",
+    "q13_inner_join",
+    "q43c_higher_order",
+    "q45_json_funcs",
+    "q22_hash_agg_tpch_q1",
+    # r6-green set — refresh before it goes 3 rounds stale in r9
+    "q01_scan_full",
+    "q02_scan_pruned",
+    "q03_csv_roundtrip",
+    "q03b_json_roundtrip",
+    "q04_parquet_roundtrip",
+    "q26_having",
+    "q27_stats_aggs",
+    "q40_string_funcs",
+    "q41_datetime_funcs",
+    "q42_math_funcs",
+    "q43_array_funcs",
+    "q43b_explode",
+    "q44_struct_map",
+    "q44b_pivot",
+    "q44c_unpivot",
+    "q45b_from_to_json",
+    "q46_hash_misc",
+    "q47_scalar_subquery",
+    "q50_envelope_parse",
+    "q50b_envelope_evolved",
+    "q51_unwrap",
+    "q53_snapshot_incremental",
+    "q54_changelog_stats",
+    "l1_exact_dedup",
+    "l2_minhash_lsh",
+    "l2v_minhash_recall",
+    "l2f_minhash_ml",
+    "l3_cosine_topk",
+    "l4_ann_lsh",
+    "l4v_ann_lsh_recall",
+    "l4c_ann_ivf",
+    "l4cv_ann_ivf_recall",
+    "l4d_ann_ml_brp",
+    "l5_text_stats",
+    "l5c_quality_score",
+    "l6_tfidf",
+    "l8_curation_pipeline",
+    "m1_multimodal_meta",
+    "s2_tumbling_window",
+    "s3_sliding_window",
+    "s4_session_window",
+    "u1_python_udf",
+    "u2_pandas_udf",
+    "u3_apply_in_pandas",
+    "u4_udaf_weighted_avg",
+    "u5_tokenize_udtf",
 )
 
 _loaded = False
