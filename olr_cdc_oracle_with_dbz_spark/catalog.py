@@ -121,3 +121,85 @@ class Catalog:
         """Register temp views so ``spark.sql`` queries resolve the tables."""
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+    def bounds(self, name: str, column: str | None = None) -> tuple[float, float] | None:
+        """(min, max) of ``column`` (default: the table's leading unique
+        key) from parquet FOOTER statistics — a driver-side metadata read,
+        zero Spark jobs. Feeds :func:`plans.canonical.ordered_static`,
+        whose ordering is correct for ANY bounds (monotone clamped
+        buckets), so staleness or missing stats (→ ``None``, sampled
+        fallback) only affect partition balance, never results. A real
+        lakehouse table keeps these in its manifest (Delta/Iceberg
+        column stats); parquet footers are the same information one hop
+        closer to the file."""
+        column = column or UNIQUE_KEYS[name][0]
+        key = (self.sf_dir, name, column)
+        if key not in _BOUNDS_CACHE:
+            _BOUNDS_CACHE[key] = _footer_bounds(self.path(name), column)
+        return _BOUNDS_CACHE[key]
+
+
+_BOUNDS_CACHE: dict[tuple[str, str, str], "tuple[float, float] | None"] = {}
+
+
+def key_bounds(
+    sf_dir: str, table: str, column: str | None = None
+) -> tuple[float, float] | None:
+    """Module-level :meth:`Catalog.bounds` (same cache) for call sites that
+    have ``sf_dir`` in scope but no catalog instance. Reads the ORIGINAL
+    file's footers — the layout mirror rewrites identical bytes, so the
+    stats are the same either way."""
+    column = column or UNIQUE_KEYS[table][0]
+    key = (sf_dir.rstrip("/"), table, column)
+    if key not in _BOUNDS_CACHE:
+        _BOUNDS_CACHE[key] = _footer_bounds(
+            f"{sf_dir.rstrip('/')}/{table}.parquet", column
+        )
+    return _BOUNDS_CACHE[key]
+
+
+def _footer_bounds(path: str, column: str) -> tuple[float, float] | None:
+    """Scan row-group footer stats of a parquet file-or-directory for the
+    global (min, max) of ``column``; ``None`` when any row group lacks
+    stats (the caller falls back to Spark's boundary sampler)."""
+    import datetime
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked into the env
+        return None
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    else:
+        files = [path]
+    lo: float | None = None
+    hi: float | None = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if column not in idx:
+                return None
+            ci = idx[column]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, datetime.datetime):
+                    mn, mx = mn.timestamp(), mx.timestamp()
+                elif isinstance(mn, datetime.date):
+                    mn = (mn - datetime.date(1970, 1, 1)).days
+                    mx = (mx - datetime.date(1970, 1, 1)).days
+                elif not isinstance(mn, (int, float)):
+                    return None  # string/binary stats: no numeric bucketing
+                lo = float(mn) if lo is None else min(lo, float(mn))
+                hi = float(mx) if hi is None else max(hi, float(mx))
+    except Exception:
+        return None
+    if lo is None or hi is None:
+        return None
+    return lo, hi

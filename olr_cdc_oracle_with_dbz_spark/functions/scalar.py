@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import presort_ranges, ordered
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import presort_ranges, presort_static, ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -49,7 +49,7 @@ def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
         F.instr(F.col("p_name"), "widget").alias("pos_widget"),
-    ).transform(ordered, "p_partkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey")
 
 
 @register(
@@ -85,7 +85,7 @@ def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("date").alias("as_date"),
         F.unix_timestamp(d).alias("epoch_s"),
         F.date_format(d, "yyyy-MM-dd").alias("ymd"),
-    ).transform(ordered, "o_orderkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "orders"), "o_orderkey")
 
 
 @register(
@@ -130,7 +130,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
         (F.col("l_orderkey") % 7).alias("m7"),
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("sg"),
-    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -168,7 +168,7 @@ def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             6,
         ).alias("head_sum"),
-    ).transform(ordered, "vec_id", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "embeddings"), "vec_id")
 
 
 @register(
@@ -235,7 +235,7 @@ def q45_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run the Jackson parse twice (presort_ranges)
     return (
         ev.select("event_id", "props")
-        .transform(presort_ranges, "event_id")
+        .transform(presort_static, key_bounds(sf_dir, "events"), "event_id")
         .select(
             "event_id", F.from_json("props", "k bigint, missing string").alias("_p")
         )
@@ -269,7 +269,7 @@ def q45b_from_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed.getField("k").alias("parsed_k"),
             rendered.alias("rendered"),
         )
-        .transform(ordered, "event_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "events"), "event_id")
     )
 
 
@@ -295,7 +295,7 @@ def q46_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("p_size"), F.lit(25)).alias("g"),
         F.least(F.col("p_size"), F.lit(25)).alias("l"),
         F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("bigint").alias("h_int"),
-    ).transform(ordered, "p_partkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey")
 
 
 @register(
@@ -360,7 +360,7 @@ def q44c_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retail"),
         )
         .unpivot("p_partkey", ["size", "retail"], "metric", "val")
-        .transform(ordered, "p_partkey", "metric", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey", "metric")
     )
 
 
@@ -406,7 +406,7 @@ def q43c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant cost, and a sampled range sort above it runs it twice
     return (
         e.select("vec_id", "embedding")
-        .transform(presort_ranges, "vec_id")
+        .transform(presort_static, key_bounds(sf_dir, "embeddings"), "vec_id")
         .select(
             "vec_id",
             F.round(l1.cast("double"), 6).alias("l1_head"),
@@ -445,5 +445,5 @@ def q10b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
         .select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
-        .transform(ordered, "k1", "k2", partitions=8)
+        .transform(ordered_static, (0.0, 300.0), "k1", "k2")
     )

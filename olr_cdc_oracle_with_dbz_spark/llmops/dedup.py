@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges, presort_static, ordered_static
 
 
 def _hash60(col):
@@ -56,7 +56,7 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .transform(ordered, "keep_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "keep_id")
     )
 
 
@@ -183,7 +183,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.transform(ordered, "doc_a", "doc_b", partitions=8)
+    return pairs.transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_a", "doc_b")
 
 
 _L2B_ORACLE = f"""
@@ -517,7 +517,7 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id", "text")
-        .transform(presort_ranges, "doc_id")  # pre-kernel: the range sampler
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")  # pre-kernel: no sampler
         # placed after the kernel re-executes it (canonical.py)
         .mapInPandas(sim_batches, "doc_id bigint, simhash bigint")
         .sortWithinPartitions("doc_id")
@@ -642,7 +642,7 @@ def l2e_dup_clusters(
     return (
         labels.unionByName(singletons)
         .select("doc_id", F.col("lab").alias("cluster"))
-        .transform(ordered, "doc_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
     )
 
 
@@ -722,7 +722,7 @@ def l9_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
-    return d.select("doc_id", split.alias("split")).transform(ordered, "doc_id", partitions=8)
+    return d.select("doc_id", split.alias("split")).transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
 
 
 @register(
@@ -763,7 +763,7 @@ def l9b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.1).cast("bigint"))
         .select("doc_id", "lang")
-        .transform(ordered, "doc_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
     )
 
 
@@ -807,7 +807,7 @@ def l2f_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
-        .transform(ordered, "doc_a", "doc_b", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_a", "doc_b")
     )
 
 

@@ -26,9 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges, presort_static, ordered_static
 
 #: metadata struct carried beside every binary asset column
 ASSET_META_SCHEMA = "mime string, n_bytes long, width int, height int"
@@ -75,7 +75,7 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.ascii(F.decode(F.expr("substring(asset, 1, 1)"), "utf-8")).alias("first_byte"),
         F.md5(F.col("asset")).alias("payload_md5"),
-    ).transform(ordered, "doc_id", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +284,7 @@ def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver hash covers the seam without a byte-level SQL decoder.
     """
     assets = attach_binary_asset(Catalog(spark, sf_dir).documents).transform(
-        presort_ranges, "doc_id"  # pre-kernel: the range sampler placed
+        presort_static, key_bounds(sf_dir, "documents"), "doc_id"  # pre-kernel: sampler
         # after the decode kernel would run every decode twice (canonical.py)
     )
     feats = extract_features(assets)

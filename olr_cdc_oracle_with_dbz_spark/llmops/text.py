@@ -11,10 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges, presort_static, ordered_static
 
 #: minimal per-language marker-word lists (n-gram-heuristic lang id)
 _LANG_MARKERS = {
@@ -64,7 +64,7 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort above it evaluated the split/regex expressions twice
     return (
         d.select("doc_id", "text", "n_chars")
-        .transform(presort_ranges, "doc_id")
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             F.size(ts).alias("n_tokens"),
@@ -124,7 +124,7 @@ def l5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-before-tokenize: see l5_text_stats
     return (
         d.select("doc_id", "lang", "text")
-        .transform(presort_ranges, "doc_id")
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")
         .select(
             "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
         )
@@ -161,7 +161,7 @@ def l5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-before-tokenize: see l5_text_stats
     return (
         d.select("doc_id", "text", "n_chars")
-        .transform(presort_ranges, "doc_id")
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")
         .select("doc_id", F.round(quality, 6).alias("quality"))
         .sortWithinPartitions("doc_id")
     )
@@ -230,7 +230,7 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("tfidf"),
         )
-        .transform(ordered, "doc_id", "kw", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id", "kw")
     )
 
 
@@ -313,7 +313,7 @@ def l7_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id", "text")
-        .transform(presort_ranges, "doc_id")  # BEFORE the kernel: sampler
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")  # BEFORE the kernel:
         # must not re-execute it (3.9 s → 0.6 s at sf1, canonical.py)
         .mapInPandas(fp_batches, "doc_id bigint, fingerprint bigint")
         .sortWithinPartitions("doc_id")
@@ -400,7 +400,7 @@ def l5d_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id", seeded.alias("t"))
-        .transform(presort_ranges, "doc_id")  # pre-kernel: see canonical.py
+        .transform(presort_static, key_bounds(sf_dir, "documents"), "doc_id")  # pre-kernel
         .mapInPandas(redact, "doc_id bigint, n_emails int, n_phones int, clean_md5 string")
         .sortWithinPartitions("doc_id")
     )
@@ -468,7 +468,7 @@ def l5e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_boiler").cast("double") / F.col("n_distinct_toks"), 6).alias(
             "boiler_ratio"
         ),
-    ).transform(ordered, "doc_id", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
 
 
 @register(
@@ -532,5 +532,5 @@ def l8_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)  # lowest doc_id survives per content key
         .select("doc_id", F.round("quality", 6).alias("quality"), clean.alias("clean_md5"))
-        .transform(ordered, "doc_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "documents"), "doc_id")
     )

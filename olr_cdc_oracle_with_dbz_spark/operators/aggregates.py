@@ -15,13 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
     _micros,
     avg6,
     ordered,
     presort_ranges,
+    presort_static,
     render,
     render_fixed,
     sql_avg6,
@@ -269,13 +270,18 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 q27 rework; the HAVING compares in the same exact integer domain.
     """
     li = Catalog(spark, sf_dir).lineitem
-    # range clustering on the (high-cardinality) group key satisfies the
-    # aggregation's required distribution AND is the presentation order —
-    # no post-agg range exchange whose sampler would re-run the final agg
+    # static-bucket clustering on the (high-cardinality) group key: the
+    # monotone bucket tag rides in groupBy (a pure function of the key —
+    # identical groups), so one sample-free hash exchange satisfies the
+    # aggregation's required distribution AND is the presentation order
     return (
-        li.select("l_orderkey", "l_quantity")
-        .transform(presort_ranges, "l_orderkey")
-        .groupBy("l_orderkey")
+        presort_static(
+            li.select("l_orderkey", "l_quantity"),
+            key_bounds(sf_dir, "lineitem"),
+            "l_orderkey",
+            keep_tag=True,
+        )
+        .groupBy("_srp", "l_orderkey")
         .agg(F.sum(_micros("l_quantity")).alias("_sq"))
         .filter(F.col("_sq") > 150 * 1_000_000)
         .select(

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6, ordered
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import sql_sum6, sum6, ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -43,7 +43,7 @@ def q13_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     )
 
 
@@ -97,7 +97,7 @@ def q15_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("o_key"),
             F.coalesce(F.col("o_orderstatus"), F.lit("(no order)")).alias("status"),
         )
-        .transform(ordered, "c_custkey", "o_key", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "customer"), "c_custkey", "o_key")
     )
 
 
@@ -148,7 +148,7 @@ def q16_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .transform(ordered, "c_custkey", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "customer"), "c_custkey")
     )
 
 
@@ -168,7 +168,7 @@ def q17_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
         )
         .select("c_custkey", "c_name")
-        .transform(ordered, "c_custkey", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "customer"), "c_custkey")
     )
 
 
@@ -223,7 +223,7 @@ def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, cond)
         .groupBy(F.col("e1.user_id").alias("user_id"), F.col("e1.event_id").alias("event_id"))
         .agg(F.count(F.col("e2.event_id")).alias("follows_1h"))
-        .transform(ordered, "user_id", "event_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "events", "user_id"), "user_id", "event_id")
     )
 
 
@@ -317,7 +317,7 @@ def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
-        .transform(ordered, "user_id", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "events", "user_id"), "user_id")
     )
 
 

@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -35,7 +35,7 @@ def q05_arith_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(net, 6).alias("net_price"),
         F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
-    ).transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
 
 
 @register(
@@ -57,7 +57,7 @@ def q06_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~(F.col("l_linestatus") == "O")
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     )
 
 
@@ -81,7 +81,7 @@ def q07_between_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     )
 
 
@@ -105,7 +105,7 @@ def q08_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             (~F.col("o_orderstatus").isin("P")).alias("not_pending"),
         )
-        .transform(ordered, "o_orderkey", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "orders"), "o_orderkey")
     )
 
 
@@ -130,7 +130,7 @@ def q09_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             F.col("p_name").rlike("^(b|c)").alias("starts_bc"),
         )
-        .transform(ordered, "p_partkey", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey")
     )
 
 
@@ -153,7 +153,7 @@ def q10_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nulled, F.lit("(none)")).alias("seg"),
         nulled.isNull().alias("was_nulled"),
         ((F.col("c_acctbal") > 0) & nulled.isNotNull()).alias("flag3vl"),
-    ).transform(ordered, "c_custkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "customer"), "c_custkey")
 
 
 @register(
@@ -176,7 +176,7 @@ def q11_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_retailprice") < 912, "mid")
         .otherwise("high")
         .alias("band"),
-    ).transform(ordered, "p_partkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey")
 
 
 @register(
@@ -215,4 +215,4 @@ def q12_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.cast("double").alias("price_dbl"),
         dec.cast("string").alias("price_s"),
         F.concat(F.col("p_size").cast("string"), F.lit(".5")).cast("double").alias("str_to_d"),
-    ).transform(ordered, "p_partkey", partitions=8)
+    ).transform(ordered_static, key_bounds(sf_dir, "part"), "p_partkey")

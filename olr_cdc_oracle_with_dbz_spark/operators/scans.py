@@ -15,8 +15,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
@@ -49,7 +49,7 @@ def q02_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         Catalog(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
-        .transform(ordered, "l_orderkey", "l_linenumber", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     )
 
 

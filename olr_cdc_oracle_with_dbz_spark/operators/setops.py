@@ -5,8 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -39,7 +39,7 @@ def q37_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("distinct").alias("src"),
         )
     )
-    return f.unionAll(op).unionAll(dist).transform(ordered, "o_orderkey", "o_orderstatus", "src", partitions=8)
+    return f.unionAll(op).unionAll(dist).transform(ordered_static, key_bounds(sf_dir, "orders"), "o_orderkey", "o_orderstatus", "src")
 
 
 @register(
@@ -56,7 +56,7 @@ def q38_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
-    return urgent.intersect(high).transform(ordered, "o_custkey", partitions=8)
+    return urgent.intersect(high).transform(ordered_static, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey")
 
 
 @register(
@@ -74,7 +74,7 @@ def q38b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
-    return urgent.subtract(high).transform(ordered, "o_custkey", partitions=8)
+    return urgent.subtract(high).transform(ordered_static, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey")
 
 
 @register(

@@ -12,8 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered, presort_ranges
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered, presort_ranges, ordered_static, presort_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -31,17 +31,18 @@ from olr_cdc_oracle_with_dbz_spark.registry import register
 def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank / ntile per customer."""
     o = Catalog(spark, sf_dir).orders
-    by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
-    total = Window.partitionBy("o_custkey").orderBy(
+    # static-bucket clustering on the window key BEFORE the windows: one
+    # sample-free hash exchange on the monotone bucket tag both satisfies
+    # the windows' required distribution (the tag rides in partitionBy —
+    # _srp is a pure function of o_custkey, so groups are unchanged) and
+    # leaves partitions in presentation order (presort_static,
+    # plans/canonical.py).
+    by_price = Window.partitionBy("_srp", "o_custkey").orderBy(F.col("o_totalprice").desc())
+    total = Window.partitionBy("_srp", "o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    # range-partition on the window key BEFORE the windows: range
-    # clustering satisfies the window's required distribution (no hash
-    # exchange), the presentation sort needs no post-window range
-    # exchange whose sampler would re-run both windows, and partitions
-    # are already in final order (presort_ranges, plans/canonical.py).
     return (
-        o.transform(presort_ranges, "o_custkey")
+        presort_static(o, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey", keep_tag=True)
         .select(
             "o_custkey",
             "o_orderkey",
@@ -72,11 +73,11 @@ def q31_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last per user ordered by event time."""
     ev = Catalog(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("_srp", "user_id").orderBy("ts", "event_id")
     whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    # range-before-window: see q31_ranking
+    # static-bucket-before-window: see q31_ranking
     return (
-        ev.transform(presort_ranges, "user_id")
+        presort_static(ev, key_bounds(sf_dir, "events", "user_id"), "user_id", keep_tag=True)
         .select(
             "user_id",
             "event_id",
@@ -111,20 +112,21 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     mic_price = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
     running = (
-        Window.partitionBy("o_custkey")
+        Window.partitionBy("_srp", "o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     near = (
-        Window.partitionBy("o_custkey")
+        Window.partitionBy("_srp", "o_custkey")
         .orderBy("o_orderkey")
         .rangeBetween(-10, Window.currentRow)
     )
     rend = lambda c: F.round(c.cast("double") / 1_000_000, 6)  # noqa: E731
-    # range-before-window: see q31_ranking (measured 2.95 s -> 1.07 s at
-    # sf3 — the post-window range sampler was re-running both windows)
+    # static-bucket-before-window: see q31_ranking (r7 measured the
+    # post-window range sampler re-running both windows, 2.95 s -> 1.07 s
+    # at sf3; r8 replaces the remaining sampling job with static bounds)
     return (
-        o.transform(presort_ranges, "o_custkey")
+        presort_static(o, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey", keep_tag=True)
         .select(
             "o_custkey",
             "o_orderkey",
@@ -151,12 +153,12 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 lineitems per order by price (windowed top-k pattern)."""
     li = Catalog(spark, sf_dir).lineitem
-    w = Window.partitionBy("l_orderkey").orderBy(
+    w = Window.partitionBy("_srp", "l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber")
     )
-    # range-before-window: see q31_ranking
+    # static-bucket-before-window: see q31_ranking
     return (
-        li.transform(presort_ranges, "l_orderkey")
+        presort_static(li, key_bounds(sf_dir, "lineitem"), "l_orderkey", keep_tag=True)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -231,7 +233,7 @@ def q31b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-    ).transform(ordered, "o_orderkey", partitions=8)
+    ).transform(ordered_static, (0.0, 2000.0), "o_orderkey")
 
 
 @register(

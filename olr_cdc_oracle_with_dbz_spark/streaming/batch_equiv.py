@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, sql_sum6, sum6
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, sql_sum6, sum6, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -120,5 +120,5 @@ def s4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
-        .transform(ordered, "user_id", "session_start", partitions=8)
+        .transform(ordered_static, key_bounds(sf_dir, "events", "user_id"), "user_id", "session_start")
     )

@@ -303,24 +303,31 @@ def test_simhash_single_shuffle(spark, sf_dir, reg):
 
 
 def test_python_kernels_above_range_exchange(spark, sf_dir, reg):
-    """r7 presort_ranges pin: for per-doc Python kernels the range exchange
-    must sit BELOW the kernel (plan prints parents first, so the kernel
-    node appears earlier in the string). With the exchange ABOVE, its
-    boundary sampler re-executes the whole kernel — measured 3.9 s → 0.6 s
-    for l7 at sf1 when the exchange moved below (plans/canonical.py)."""
+    """r7 presort pin, r8 static form: for per-doc Python kernels the
+    clustering exchange must sit BELOW the kernel (plan prints parents
+    first, so the kernel node appears earlier in the string) — an exchange
+    ABOVE would re-execute the kernel in its boundary sampler (measured
+    3.9 s → 0.6 s for l7 at sf1, r7). Since r8 the exchange is the
+    SAMPLE-FREE static-bucket hash exchange on the _srp tag
+    (presort_static) — a rangepartitioning exchange anywhere in these
+    plans means the sampler came back."""
     for name in ("l7_fingerprint", "l2c_simhash", "l5d_redact_pii",
                  "m2_multimodal_features"):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
         assert "MapInPandas" in plan, name
-        assert "rangepartitioning" in plan, name
-        assert plan.index("MapInPandas") < plan.index("rangepartitioning"), name
+        assert "rangepartitioning" not in plan, name
+        assert "Exchange hashpartitioning(_srp" in plan, name
+        assert plan.index("MapInPandas") < plan.index("Exchange hashpartitioning(_srp"), name
 
 
 def test_window_family_single_range_exchange(spark, sf_dir, reg):
-    """r7 range-before-window pin: the window queries and the tokenize
-    projections run over ONE range exchange on the partition/presentation
-    key — range clustering satisfies the window/agg required distribution,
-    so a hash exchange OR a second (post-compute, sampled) range exchange
+    """r7 cluster-before-window pin, r8 static form: the window queries and
+    the tokenize projections run over ONE exchange that serves both the
+    window/agg required distribution and the presentation order. Since r8
+    that exchange is the sample-free static-bucket hash exchange on _srp
+    (presort_static; window/groupBy keys carry the tag so Catalyst sees
+    HashPartitioning(_srp) ⊆ ClusteredDistribution([_srp, key])). A
+    SECOND exchange of any kind, or a rangepartitioning one (the sampler),
     is a regression back to double execution."""
     for name in ("q31_ranking", "q32_lag_lead", "q33_frames",
                  "q34_topk_per_group", "q26_having",
@@ -328,8 +335,8 @@ def test_window_family_single_range_exchange(spark, sf_dir, reg):
                  "q45_json_funcs", "q43c_higher_order"):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
         assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
-        assert "Exchange hashpartitioning" not in plan, name
-        assert plan.count("rangepartitioning") == 1, name
+        assert "rangepartitioning" not in plan, name
+        assert plan.count("Exchange hashpartitioning(_srp") == 1, name
 
 
 def test_l2d_sort_needs_no_sampling(spark, sf_dir, reg):
@@ -341,3 +348,49 @@ def test_l2d_sort_needs_no_sampling(spark, sf_dir, reg):
     # exchange; a rangepartitioning exchange here means sampling came back
     assert "Exchange SinglePartition" in plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_slot_labels_match_spark_hash(spark):
+    """The driver-side Murmur3 in plans/canonical.py must agree with
+    Spark's hash() for LongType, or static-bucket partitions land out of
+    order. Checked for every partition count the engine uses."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+        _murmur3_long,
+        slot_labels,
+    )
+
+    probe = list(range(64)) + [2**33 + 7, -5, 2**62]
+    rows = spark.createDataFrame([(v,) for v in probe], "v long").select(
+        F.col("v"), F.hash("v").alias("h")
+    ).collect()
+    for r in rows:
+        assert _murmur3_long(r.v) == r.h, r.v
+    for p in (4, 8, 16):
+        labels = slot_labels(p)
+        assert [(_murmur3_long(v)) % p for v in labels] == list(range(p))
+
+
+def test_ordered_static_equals_orderby(spark, sf_dir, reg):
+    """ordered_static must reproduce orderBy's exact global row order —
+    including NULL keys (first under asc) and keys outside the provided
+    bounds (clamped, monotone) — and plan NO rangepartitioning (the
+    sampling job is the thing it exists to remove)."""
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered_static
+
+    o = reg and spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        "o_custkey",
+    )
+    want = [tuple(r) for r in base.orderBy("k", "o_custkey").collect()]
+    # deliberately WRONG, too-narrow bounds: correctness must not depend
+    got_df = ordered_static(base, (100.0, 200.0), "k", "o_custkey")
+    assert "rangepartitioning" not in _plan(got_df)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want
