@@ -287,27 +287,36 @@ def _jaccard_pairs(
         width = max(spark.sparkContext.defaultParallelism, 8)
     tri = tri.repartition(width, "shingle", "lang")
     a, b = tri.alias("a").hint("shuffle_hash"), tri.alias("b").hint("shuffle_hash")
+    # Aggregation shape (r8): a pair's co-occurrence rows are spread across
+    # SHINGLE partitions, so a map-side partial aggregate over the join
+    # output achieves ~zero reduction — a 44M-entry hash-map build (at sf1)
+    # whose output is the same 44M rows. Re-partitioning the raw join
+    # output on the PAIR key first makes the post-shuffle aggregate the
+    # only one doing work (same shuffled volume, one wasted hash pass
+    # removed; measured 11.5 → 7.7 s at sf1). The two sizes ride as ONE
+    # packed long (sz < 2³¹ always — it's a per-doc shingle count), keeping
+    # the shuffle row at 3 longs; recomputing sizes post-agg instead costs
+    # a second shingle pass and loses (9.9 s measured). Posting-list length
+    # cutoffs were measured out: see SCALE.md §6 (no skew to cut — max
+    # k=140 at sf1).
+    cooc = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.shiftleft(F.col("a.sz").cast("long"), 32) + F.col("b.sz")).alias("_szs"),
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        # sz_a/sz_b are functionally dependent on the doc ids — adding them
-        # to the grouping key leaves the group count unchanged and the
-        # partial aggregate shrinks the shuffle exactly as before
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
+        cooc.repartition(width, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "_szs")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
-    )
+    sz_a = F.shiftright("_szs", 32)
+    sz_b = F.col("_szs").bitwiseAND(F.lit(0xFFFFFFFF))
+    jac = F.col("n_common").cast("double") / (sz_a + sz_b - F.col("n_common"))
     return inter.filter(jac >= 0.2).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
