@@ -48,6 +48,38 @@ def q13_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13b_join_cobucketed",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def q13b_join_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 on the co-bucketed at-rest layout (operators/storage.py): both
+    fact tables bucketed on the order key, so the join plans with NO
+    exchange on either side — the bucket files ARE the co-partitioning.
+    Same oracle as q13; the plan difference is pinned in
+    tests/test_storage.py. The layout write is ingest-time cost paid once
+    per table (SCALE.md §1); at 100 TB this is the fact-fact join shape
+    that survives — the per-query double fact shuffle does not."""
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import (
+        ensure_cobucketed_facts,
+    )
+
+    li, o = ensure_cobucketed_facts(spark, sf_dir)
+    # merge hint: at bench scale the optimizer would broadcast orders and
+    # hide the layout; two 100 TB fact tables can never broadcast, and the
+    # point IS the exchange-free sort-merge over co-located buckets
+    return (
+        li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
+        .transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
     "q14_broadcast_join",
     oracle="""
     SELECT n.n_nationkey, n.n_name, r.r_name

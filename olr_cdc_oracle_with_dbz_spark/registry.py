@@ -109,6 +109,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q52_upsert_compaction",
     "l2b_ngram_jaccard",
     "q13_inner_join",
+    "q13b_join_cobucketed",
     "q43c_higher_order",
     "q45_json_funcs",
     "q22_hash_agg_tpch_q1",

@@ -12,6 +12,16 @@ from olr_cdc_oracle_with_dbz_spark.operators.storage import (
 )
 
 
+import pytest
+
+from olr_cdc_oracle_with_dbz_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -96,3 +106,17 @@ def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
         hit, total = groups_hit(col, lo_all, lo_all + width)
         assert total >= 4
         assert hit < total, f"{col}: no pruning ({hit}/{total})"
+
+
+def test_q13b_cobucketed_join_plans_exchange_free(spark, sf_dir, reg):
+    """The q13 bucketed twin's sort-merge join must read co-located
+    buckets with NO exchange on either join side — the only exchange in
+    the plan is the presentation sort's static-bucket repartition. An
+    Exchange hashpartitioning on an order key means the bucket layout
+    stopped being recognized (bucket count drift or a lost sortBy)."""
+    plan = _plan(reg["q13b_join_cobucketed"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Exchange hashpartitioning(_srp" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
