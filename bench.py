@@ -104,6 +104,20 @@ def main() -> None:
     _cat = Catalog(spark, sf_dir)
     for _t in TABLES:
         _cat.table(_t)
+    # q13b's co-bucketed layout: the one-time bucketed table write is
+    # INGEST cost, not query cost — materialize it here (like the catalog
+    # pre-touch) and report it as its own labeled metric, so under
+    # best-of-N the write neither silently drops out of the reported
+    # number nor lands inside a single query's timer (ADVICE r8).
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import ensure_cobucketed_facts
+
+    t0 = time.perf_counter()
+    try:
+        ensure_cobucketed_facts(spark, sf_dir)
+        bucketed_ingest_sec = round(time.perf_counter() - t0, 4)
+    except Exception as ex:  # layout failure must not kill the bench
+        bucketed_ingest_sec = -1.0
+        print(f"# bucketed ingest error: {ex}", file=sys.stderr)
     import warnings
 
     from pyspark.sql.functions import pandas_udf
@@ -350,6 +364,7 @@ def main() -> None:
         **result,
         "queries": {n: round(v, 3) for n, v in timings.items()},
         "ingest_sec": ingest_sec,
+        "bucketed_ingest_sec": bucketed_ingest_sec,
         "cdc_ingest": cdc_stats,
         "duckdb_probe": duckdb_probe.get("queries", {}),
     }

@@ -133,13 +133,41 @@ class Catalog:
         column stats); parquet footers are the same information one hop
         closer to the file."""
         column = column or UNIQUE_KEYS[name][0]
-        key = (self.sf_dir, name, column)
-        if key not in _BOUNDS_CACHE:
-            _BOUNDS_CACHE[key] = _footer_bounds(self.path(name), column)
-        return _BOUNDS_CACHE[key]
+        return _bounds_cached(self.path(name), column)
 
 
-_BOUNDS_CACHE: dict[tuple[str, str, str], "tuple[float, float] | None"] = {}
+#: Keyed on (path, column, files-fingerprint): a rewrite of the parquet
+#: files at the same path changes mtime/size and naturally invalidates the
+#: entry (ADVICE r8 — the old (sf_dir, table, column) key silently served
+#: stale bounds after a rewrite; only balance skew, but invisible).
+_BOUNDS_CACHE: dict[tuple, "tuple[float, float] | None"] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """Cheap identity of the file set at ``path``: (count, total size,
+    max mtime_ns). Driver-side stat calls only — no file reads."""
+    try:
+        if os.path.isdir(path):
+            n = sz = mt = 0
+            for root, _dirs, names in os.walk(path):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        st = os.stat(os.path.join(root, f))
+                        n += 1
+                        sz += st.st_size
+                        mt = max(mt, st.st_mtime_ns)
+            return (n, sz, mt)
+        st = os.stat(path)
+        return (1, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ("missing",)
+
+
+def _bounds_cached(path: str, column: str) -> "tuple[float, float] | None":
+    key = (path, column, _path_fingerprint(path))
+    if key not in _BOUNDS_CACHE:
+        _BOUNDS_CACHE[key] = _footer_bounds(path, column)
+    return _BOUNDS_CACHE[key]
 
 
 def key_bounds(
@@ -150,12 +178,7 @@ def key_bounds(
     file's footers — the layout mirror rewrites identical bytes, so the
     stats are the same either way."""
     column = column or UNIQUE_KEYS[table][0]
-    key = (sf_dir.rstrip("/"), table, column)
-    if key not in _BOUNDS_CACHE:
-        _BOUNDS_CACHE[key] = _footer_bounds(
-            f"{sf_dir.rstrip('/')}/{table}.parquet", column
-        )
-    return _BOUNDS_CACHE[key]
+    return _bounds_cached(f"{sf_dir.rstrip('/')}/{table}.parquet", column)
 
 
 def _footer_bounds(path: str, column: str) -> tuple[float, float] | None:
@@ -190,7 +213,13 @@ def _footer_bounds(path: str, column: str) -> tuple[float, float] | None:
                     return None
                 mn, mx = st.min, st.max
                 if isinstance(mn, datetime.datetime):
-                    mn, mx = mn.timestamp(), mx.timestamp()
+                    # pyarrow returns NAIVE datetimes carrying UTC wall
+                    # time; .timestamp() would re-interpret them in the
+                    # process's local TZ (ADVICE r8). Pin the epoch math
+                    # to UTC so bounds are host-TZ independent.
+                    utc = datetime.timezone.utc
+                    mn = mn.replace(tzinfo=mn.tzinfo or utc).timestamp()
+                    mx = mx.replace(tzinfo=mx.tzinfo or utc).timestamp()
                 elif isinstance(mn, datetime.date):
                     mn = (mn - datetime.date(1970, 1, 1)).days
                     mx = (mx - datetime.date(1970, 1, 1)).days

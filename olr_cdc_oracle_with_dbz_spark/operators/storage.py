@@ -130,19 +130,32 @@ def ensure_cobucketed_facts(
     cannot re-attach bucketing metadata to existing files across
     sessions, so a fresh session re-writes — on a cluster the metastore
     makes this genuinely once."""
+    import getpass
     import hashlib
+    import os
     import shutil
     import tempfile
 
     digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
     li_name, o_name = f"li_b_{digest}", f"o_b_{digest}"
-    if not spark.catalog.tableExists(li_name) or not spark.catalog.tableExists(o_name):
+    # per-user root (ADVICE r8): a fixed shared /tmp path collides with
+    # another user's dir (permission failure) on multi-tenant hosts
+    user = getpass.getuser()
+    root = f"{tempfile.gettempdir()}/olr-bucketed-{user}/{digest}"
+    # trust the in-memory catalog only while the files it points at still
+    # exist — a tmp reaper can delete them mid-session (ADVICE r8)
+    have = spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)
+    if have:
+        have = all(
+            os.path.isdir(f"{root}/{n}") and os.listdir(f"{root}/{n}")
+            for n in (li_name, o_name)
+        )
+    if not have:
         from pyspark.sql import functions as F
 
         from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 
         cat = Catalog(spark, sf_dir)
-        root = f"{tempfile.gettempdir()}/olr-bucketed/{digest}"
         # one file per bucket: pre-cluster rows into their bucket before
         # the write, so each bucket's rows sit in one task → one file,
         # and the reader can use the per-file sort order

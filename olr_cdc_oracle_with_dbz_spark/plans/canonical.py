@@ -250,12 +250,18 @@ def ordered_static(
     p = max(int(partitions), 1)
     if p == 1:
         return ordered(df, *cols, partitions=1)
+    # the tag is internal here (dropped before return), so a collision
+    # with a user column is survivable by renaming OUR side (ADVICE r8:
+    # withColumn silently overwrote a pre-existing _srp)
+    tag_col = "_srp"
+    while tag_col in df.columns:
+        tag_col = "_" + tag_col
     tag = F.expr(_static_tag_sql(cols[0], lo, hi, p))
     return (
-        df.withColumn("_srp", tag)
-        .repartition(p, F.col("_srp"))
+        df.withColumn(tag_col, tag)
+        .repartition(p, F.col(tag_col))
         .sortWithinPartitions(*cols)
-        .drop("_srp")
+        .drop(tag_col)
     )
 
 
@@ -318,6 +324,15 @@ def presort_static(
     Bounds are a balance hint only (see :func:`ordered_static`);
     ``None`` falls back to the sampled :func:`presort_ranges`.
     """
+    # the tag name is part of the keep_tag CONTRACT (consumers reference
+    # "_srp" in their partitionBy/groupBy keys), so a pre-existing _srp
+    # column cannot be silently overwritten OR renamed — refuse loudly
+    # (ADVICE r8)
+    if "_srp" in df.columns:
+        raise ValueError(
+            "presort_static: input already has a '_srp' column; rename it "
+            "before tagging (the tag name is part of the keep_tag contract)"
+        )
     if bounds is None:
         out = presort_ranges(df, key, partitions=partitions)
         # constant tag keeps keep_tag callers working: RangePartitioning(key)

@@ -79,79 +79,18 @@ def register(
 
 
 #: Names pinned to the FRONT of the driver-facing ``queries()`` dict, in this
-#: order. The grading driver checks a bounded (~50-query) prefix of the
-#: registry per round, so the prefix is curated. As of round 5 all 103
-#: oracle-backed queries are union-green across rounds with zero ever-red;
-#: r6's window was 50/50 green (third consecutive fully-green round) and
-#: the r4/r5/r6 union covered all 103 oracle queries. Round 7 keeps the
-#: rotation honest (r6 verdict item 8: no query's latest green row older
-#: than 3 rounds): the 12 queries whose latest row is r4 go FIRST, then
-#: canaries for code touched THIS round (the presort_ranges kernels l7 /
-#: l2c / m2 and the widened l2b join + l2e on top of it; l5d and l2d are
-#: already in the r4 group), the standing q22/q52 canaries, and then the
-#: 41-query r5-green block (projections, joins, aggregates, windows,
-#: setops, subqueries) that r6's window displaced.
+#: order. The grading driver checks a bounded (~50-query, r8 = exactly 50)
+#: prefix of the registry per round, so the prefix is curated. Union across
+#: rounds = 104/104 oracle-backed queries green with zero ever-red; r8 was
+#: the fifth consecutive fully-green window. Rotation invariant (standing
+#: verdict item): no query's latest green may fall more than 3 rounds
+#: behind, so the STALEST queries always lead, followed by canaries for
+#: code touched this round, then the previous round's displaced block.
 DRIVER_FIRST: tuple[str, ...] = (
-    # r8 rotation: the 10 queries whose latest driver green is r5 (3 rounds
-    # stale) go first — VERDICT r7 next-round item 5
-    "q33_frames",
-    "q34_topk_per_group",
-    "q35_multikey_sort",
-    "q36_limit_topk",
-    "q37_union",
-    "q38_intersect",
-    "q38b_except",
-    "q39_distinct",
-    "q48_exists_subquery",
-    "q48b_in_subquery",
-    # canaries for r8 code changes (clustered-compaction NULL-key fix,
-    # l2b kernel work, q13 bucketed twin, HOF/json perf attempts)
-    "q52_upsert_compaction",
-    "l2b_ngram_jaccard",
-    "q13_inner_join",
-    "q13b_join_cobucketed",
-    "q43c_higher_order",
-    "q45_json_funcs",
-    "q22_hash_agg_tpch_q1",
-    # r6-green set — refresh before it goes 3 rounds stale in r9
-    "q01_scan_full",
-    "q02_scan_pruned",
-    "q03_csv_roundtrip",
-    "q03b_json_roundtrip",
-    "q04_parquet_roundtrip",
-    "q26_having",
-    "q27_stats_aggs",
-    "q40_string_funcs",
-    "q41_datetime_funcs",
-    "q42_math_funcs",
-    "q43_array_funcs",
-    "q43b_explode",
-    "q44_struct_map",
-    "q44b_pivot",
-    "q44c_unpivot",
-    "q45b_from_to_json",
-    "q46_hash_misc",
-    "q47_scalar_subquery",
-    "q50_envelope_parse",
-    "q50b_envelope_evolved",
-    "q51_unwrap",
-    "q53_snapshot_incremental",
-    "q54_changelog_stats",
-    "l1_exact_dedup",
-    "l2_minhash_lsh",
-    "l2v_minhash_recall",
-    "l2f_minhash_ml",
-    "l3_cosine_topk",
-    "l4_ann_lsh",
-    "l4v_ann_lsh_recall",
-    "l4c_ann_ivf",
-    "l4cv_ann_ivf_recall",
-    "l4d_ann_ml_brp",
-    "l5_text_stats",
-    "l5c_quality_score",
-    "l6_tfidf",
-    "l8_curation_pipeline",
-    "m1_multimodal_meta",
+    # r9 rotation (VERDICT r8 item 5): the 8 queries whose latest driver
+    # green is r6 (3 rounds stale) go FIRST — in r8 they sat at positions
+    # 57-64, past the ~50-query window, which is exactly how they went
+    # stale. Never again: stale-first is the invariant.
     "s2_tumbling_window",
     "s3_sliding_window",
     "s4_session_window",
@@ -160,6 +99,61 @@ DRIVER_FIRST: tuple[str, ...] = (
     "u3_apply_in_pandas",
     "u4_udaf_weighted_avg",
     "u5_tokenize_udtf",
+    # canaries for r9 code changes: u4b JVM twin (new), q20/q23 data-scale
+    # restructures, q33/q34 window-tail work, l2b close-out
+    "u4b_weighted_avg_builtin",
+    "q20_multiway_join",
+    "q23_count_distinct",
+    "q33_frames",
+    "q34_topk_per_group",
+    "l2b_ngram_jaccard",
+    # r7-green block (latest green r7 — 2 rounds stale after r9 if missed;
+    # everything below must land inside the window or lead DRIVER_FIRST
+    # in r10)
+    "q05_arith_projection",
+    "q06_filter_bool",
+    "q07_between_date",
+    "q08_in_list",
+    "q09_like_regex",
+    "q10_null_semantics",
+    "q10b_null_safe_eq",
+    "q11_case_when",
+    "q12_cast_matrix",
+    "q14_broadcast_join",
+    "q15_outer_joins",
+    "q15b_full_outer",
+    "q16_semi_join",
+    "q17_anti_join",
+    "q18_range_join",
+    "q19_cross_join",
+    "q21_asof_join",
+    "q21b_funnel",
+    "q21c_retention",
+    "q24_global_agg",
+    "q25_rollup",
+    "q25b_cube",
+    "q25c_grouping_sets",
+    "q28_percentile",
+    "q29_distinct_exact_vs_approx",
+    "q29b_approx_aggs",
+    "q30_filtered_agg",
+    "q31_ranking",
+    "q31b_distribution_ranks",
+    "q32_lag_lead",
+    "q49_cte",
+    "l2c_simhash",
+    "l2d_embedding_neardup",
+    "l2e_dup_clusters",
+    "l2fv_minhash_ml_recall",
+    "l4bv_bruteforce_agreement",
+    "l4dv_ann_brp_recall",
+    "l5b_lang_id",
+    "l5d_redact_pii",
+    "l5e_boilerplate",
+    "l7_fingerprint",
+    "l9_train_split",
+    "l9b_stratified_sample",
+    "m2_multimodal_features",
 )
 
 _loaded = False
