@@ -181,6 +181,35 @@ def key_bounds(
     return _bounds_cached(f"{sf_dir.rstrip('/')}/{table}.parquet", column)
 
 
+_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def row_count(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side
+    read, zero Spark jobs (same cache policy as :func:`key_bounds`).
+    Feeds :func:`plans.canonical.sized_partitions` so exchange widths
+    track data volume instead of being a constant that is right at one
+    scale factor and wrong at every other."""
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    key = (path, _path_fingerprint(path))
+    if key not in _ROWS_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                n = 0
+                for root, _dirs, names in os.walk(path):
+                    for f in names:
+                        if f.endswith(".parquet"):
+                            n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+            _ROWS_CACHE[key] = n
+        except Exception:
+            _ROWS_CACHE[key] = 0
+    return _ROWS_CACHE[key]
+
+
 def _footer_bounds(path: str, column: str) -> tuple[float, float] | None:
     """Scan row-group footer stats of a parquet file-or-directory for the
     global (min, max) of ``column``; ``None`` when any row group lacks

@@ -12,8 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import DEC, ordered, presort_ranges, ordered_static, presort_static
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+    DEC,
+    ordered,
+    ordered_static,
+    presort_ranges,
+    presort_static,
+    sized_partitions,
+)
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -124,9 +131,13 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rend = lambda c: F.round(c.cast("double") / 1_000_000, 6)  # noqa: E731
     # static-bucket-before-window: see q31_ranking (r7 measured the
     # post-window range sampler re-running both windows, 2.95 s -> 1.07 s
-    # at sf3; r8 replaces the remaining sampling job with static bounds)
+    # at sf3; r8 replaces the remaining sampling job with static bounds).
+    # r9: exchange width sized to the data — ~140k orders per task keeps
+    # the dominant per-partition sort parallel at every octave (sf3:
+    # 1.66 s at the old fixed 16 → 1.07 s ≈ 1.9× DuckDB).
+    p = sized_partitions(row_count(sf_dir, "orders"), 140_000, lo=16)
     return (
-        presort_static(o, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey", keep_tag=True)
+        presort_static(o, key_bounds(sf_dir, "orders", "o_custkey"), "o_custkey", keep_tag=True, partitions=p)
         .select(
             "o_custkey",
             "o_orderkey",
@@ -151,18 +162,40 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 lineitems per order by price (windowed top-k pattern)."""
-    li = Catalog(spark, sf_dir).lineitem
-    w = Window.partitionBy("_srp", "l_orderkey").orderBy(
+    """Top-3 lineitems per order by price (windowed top-k pattern).
+
+    r9 rework: the window reads the CO-BUCKETED lineitem
+    (operators/storage.py) — HashPartitioning(l_orderkey) from the bucket
+    files satisfies the window's distribution, so the 18M-row input is
+    never exchanged; WindowGroupLimit prunes each group to 3 rows before
+    the window, and only the ~3/7ths-sized output pays the presentation
+    range sort. sf3 decomposition (healthy window, median of 3): the old
+    _srp-exchange-before-window form spent 3.07 s on its 18M-row
+    exchange+sort alone (3.9–5.7 s total, 2.7–3.5× DuckDB); this form is
+    1.32–1.48 s ≈ 1.2–1.3× DuckDB (1.12 s). A collect_list/array_sort
+    hash-agg variant measured 1.94–2.13 s — the per-bucket sort+WGL wins.
+    At 100 TB the bucketed layout is the same one the fact joins use; the
+    window inherits it for free.
+    """
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import (
+        ensure_cobucketed_facts,
+    )
+
+    li_b, _ = ensure_cobucketed_facts(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber")
     )
-    # static-bucket-before-window: see q31_ranking
-    return (
-        presort_static(li, key_bounds(sf_dir, "lineitem"), "l_orderkey", keep_tag=True)
+    out = (
+        li_b.select("l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    # presentation sort width sized to the top-k OUTPUT (~3/7 of input)
+    p = sized_partitions(row_count(sf_dir, "lineitem") * 3 // 7, 400_000, lo=8)
+    return ordered_static(
+        out, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber",
+        partitions=p,
     )
 
 

@@ -190,6 +190,24 @@ def _murmur3_long(x: int, seed: int = 42) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
+def sized_partitions(
+    rows: int, per_partition: int, lo: int = 8, hi: int = 48
+) -> int:
+    """Exchange width that TRACKS data volume: ceil(rows/per_partition),
+    clamped. A constant partition count is right at exactly one scale
+    factor — 16 partitions of sf3 orders leave half a 32-thread pool idle
+    through the dominant sort (q33 r9: 1.66 s at 16 → 1.07 s at 32),
+    while 32 partitions of sf0.1 are pure task-launch overhead. ``rows``
+    comes from :func:`catalog.row_count` (parquet footer metadata, no
+    jobs); ``per_partition`` is the operator's measured comfortable
+    per-task row budget. On a cluster the same formula sizes to executor
+    memory instead of a thread pool — the point is it's a function of
+    the data, not a constant."""
+    if rows <= 0:
+        return lo
+    return max(lo, min(hi, -(-rows // per_partition)))
+
+
 _SLOT_LABELS: dict[int, list[int]] = {}
 
 

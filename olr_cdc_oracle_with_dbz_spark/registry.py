@@ -103,6 +103,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     # restructures, q33/q34 window-tail work, l2b close-out
     "u4b_weighted_avg_builtin",
     "q20_multiway_join",
+    "q20b_multiway_cobucketed",
     "q23_count_distinct",
     "q33_frames",
     "q34_topk_per_group",

@@ -215,16 +215,23 @@ def test_l2e_edge_symmetrization_single_join(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") == 1
 
 
-def test_q23_multi_distinct_no_expand(spark, sf_dir, reg):
-    """q23: three distinct-count columns must NOT compile to Catalyst's 3×
-    Expand-before-shuffle (shuffle input = 3·|rows| at any key cardinality).
-    The melted two-stage form pre-aggregates map-side, so the first shuffle
-    carries only distinct (flag, col, value) triples."""
+def test_q23_multi_distinct_partial_below_exchange(spark, sf_dir, reg):
+    """q23: Catalyst's RewriteDistinctAggregates plans N distinct columns
+    as Expand → map-side dedup HashAggregate (keys include gid) → Exchange,
+    so the shuffle carries |distinct (group, gid, value)| rows, never
+    N·|rows| — the N× blow-up is confined to two pipelined operators of
+    one stage. Pin both halves: the Expand exists, and the dedup aggregate
+    sits BELOW the first exchange (r9 measurement: this form beats every
+    manual decomposition — stack+distinct, split-join, encoded-pair)."""
     df = reg["q23_count_distinct"].spark_fn(spark, sf_dir)
     plan = _plan(df)
-    assert "Expand" not in plan
-    # map-side partial aggregate must sit below the first exchange
-    assert "partial" in plan.lower()
+    assert "Expand" in plan
+    # between the LAST exchange above the Expand and the Expand itself
+    # there must be a dedup HashAggregate keyed on gid (map-side combine)
+    above_expand = plan[: plan.index("Expand")]
+    below_last_exchange = above_expand[above_expand.rindex("Exchange") :]
+    assert "HashAggregate" in below_last_exchange
+    assert "gid" in below_last_exchange
 
 
 def test_udf_explodes_evaluate_signature_once(spark, sf_dir, reg):
