@@ -401,3 +401,27 @@ def test_ordered_static_equals_orderby(spark, sf_dir, reg):
     assert "rangepartitioning" not in _plan(got_df)
     got = [tuple(r) for r in got_df.collect()]
     assert got == want
+
+
+def test_sized_partitions_formula():
+    """Exchange width tracks data volume: ceil(rows/per), clamped; zero or
+    unknown row counts fall back to the lower clamp."""
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import sized_partitions
+
+    assert sized_partitions(0, 100_000) == 8
+    assert sized_partitions(-1, 100_000) == 8
+    assert sized_partitions(100, 100_000, lo=8) == 8
+    assert sized_partitions(1_000_000, 100_000) == 10
+    assert sized_partitions(1_000_001, 100_000) == 11  # ceil, not floor
+    assert sized_partitions(10**12, 100_000, hi=48) == 48
+    assert sized_partitions(4_500_000, 140_000, lo=16) == 33
+
+
+def test_row_count_matches_actual(spark, sf_dir):
+    """catalog.row_count (parquet footer metadata, zero jobs) must agree
+    with the actual table row count."""
+    from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, row_count
+
+    cat = Catalog(spark, sf_dir)
+    for t in ("orders", "lineitem", "region"):
+        assert row_count(sf_dir, t) == cat.table(t).count(), t

@@ -120,3 +120,34 @@ def test_q13b_cobucketed_join_plans_exchange_free(spark, sf_dir, reg):
     assert "Exchange hashpartitioning(_srp" in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_q20b_cobucketed_multiway_plan(spark, sf_dir, reg):
+    """q20b: the fact hop must be the exchange-free bucketed sort-merge
+    join and all four dimension sides must broadcast — the 100 TB plan
+    shape (facts never shuffle per-query, dims ride the fact
+    partitioning)."""
+    plan = _plan(reg["q20b_multiway_cobucketed"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 4, plan.count("BroadcastHashJoin")
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # the only non-broadcast exchange is the 5-row final agg/presentation
+    non_b = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+    assert non_b <= 2, plan
+
+
+def test_q34_bucketed_window_no_input_exchange(spark, sf_dir, reg):
+    """q34 r9 form: the window reads the co-bucketed lineitem, so its
+    18M-row input is NEVER exchanged (bucket files satisfy the window's
+    required distribution) and WindowGroupLimit prunes each group before
+    the window; the only exchange is the presentation sort over the
+    pruned top-k output."""
+    plan = _plan(reg["q34_topk_per_group"].spark_fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    # the one exchange is ordered_static's slot-tag repartition, and it
+    # sits ABOVE the window (output side), not below it
+    assert plan.index("Exchange") < plan.index("Window ")
