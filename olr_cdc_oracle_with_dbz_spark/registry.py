@@ -107,6 +107,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q23_count_distinct",
     "q33_frames",
     "q34_topk_per_group",
+    "q17_anti_join",
     "l2b_ngram_jaccard",
     # r7-green block (latest green r7 — 2 rounds stale after r9 if missed;
     # everything below must land inside the window or lead DRIVER_FIRST
@@ -124,7 +125,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q15_outer_joins",
     "q15b_full_outer",
     "q16_semi_join",
-    "q17_anti_join",
     "q18_range_join",
     "q19_cross_join",
     "q21_asof_join",
