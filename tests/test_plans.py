@@ -425,3 +425,24 @@ def test_row_count_matches_actual(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     for t in ("orders", "lineitem", "region"):
         assert row_count(sf_dir, t) == cat.table(t).count(), t
+
+
+def test_srp_collision_guards(spark, sf_dir):
+    """ADVICE r8: a pre-existing _srp column must not be silently
+    overwritten. ordered_static renames its internal tag; presort_static
+    (whose tag name is part of the keep_tag contract) refuses loudly."""
+    import pytest as _pytest
+
+    from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+    from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+        ordered_static,
+        presort_static,
+    )
+
+    o = Catalog(spark, sf_dir).orders.withColumn("_srp", F.lit(7))
+    bounds = key_bounds(sf_dir, "orders")
+    out = ordered_static(o, bounds, "o_orderkey", partitions=4)
+    assert "_srp" in out.columns  # the user's column survives
+    assert out.filter(F.col("_srp") != 7).count() == 0
+    with _pytest.raises(ValueError, match="_srp"):
+        presort_static(o, bounds, "o_orderkey")
