@@ -15,18 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
     _micros,
     avg6,
     ordered,
+    ordered_static,
     presort_ranges,
     presort_static,
     render,
     render_fixed,
     sql_avg6,
     sql_render_fixed,
+    sized_partitions,
     sql_sum6,
     sum6,
 )
@@ -262,27 +264,34 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole-stage-codegen long-sum path (canonical ``_micros``), not a
     decimal accumulator — same exactness, measured ~5× cheaper per the
     r6 q27 rework; the HAVING compares in the same exact integer domain.
+
+    r9: the aggregation reads the CO-BUCKETED lineitem — the bucket
+    files' HashPartitioning(l_orderkey) satisfies the aggregation's
+    required distribution, so the 18M-row input is never exchanged; only
+    the HAVING-filtered output pays the presentation range exchange.
+    sf3, same window: the r8 single-exchange presort form (which shipped
+    all 18M rows through its exchange) 2.04 s; a classic partial+final
+    two-exchange form 2.56 s (4.5M high-cardinality groups make the
+    map-side partial nearly useless); this form 0.97 s.
     """
-    li = Catalog(spark, sf_dir).lineitem
-    # static-bucket clustering on the (high-cardinality) group key: the
-    # monotone bucket tag rides in groupBy (a pure function of the key —
-    # identical groups), so one sample-free hash exchange satisfies the
-    # aggregation's required distribution AND is the presentation order
-    return (
-        presort_static(
-            li.select("l_orderkey", "l_quantity"),
-            key_bounds(sf_dir, "lineitem"),
-            "l_orderkey",
-            keep_tag=True,
-        )
-        .groupBy("_srp", "l_orderkey")
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import (
+        ensure_cobucketed_facts,
+    )
+
+    li_b, _ = ensure_cobucketed_facts(spark, sf_dir)
+    agg = (
+        li_b.select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
         .agg(F.sum(_micros("l_quantity")).alias("_sq"))
         .filter(F.col("_sq") > 150 * 1_000_000)
         .select(
             "l_orderkey",
             F.round(F.col("_sq").cast("double") / 1_000_000, 6).alias("sum_qty"),
         )
-        .sortWithinPartitions("l_orderkey")
+    )
+    p = sized_partitions(row_count(sf_dir, "lineitem") // 7, 400_000, lo=8)
+    return ordered_static(
+        agg, key_bounds(sf_dir, "lineitem"), "l_orderkey", partitions=p
     )
 
 

@@ -288,15 +288,20 @@ def test_exact_stats_aggs_hash_only(spark, sf_dir, reg):
     """q26/q27 (r6 integer-moment rework): one scan, hash aggregation
     (long/decimal(38,0) sums stay in HashAggregate — a SortAggregate
     means an accumulator type fell off the hash path). q27 has two
-    exchanges (aggregation shuffle + presentation range sort); q26 has
-    exactly ONE since r7 — the pre-agg range clustering on the group key
-    serves both the aggregation's required distribution and the
-    presentation order (presort_ranges)."""
+    exchanges (aggregation shuffle + presentation range sort). q26 (r9)
+    aggregates over the CO-BUCKETED lineitem — the bucket files satisfy
+    the aggregation's distribution, so its input is never exchanged and
+    its single exchange is the output-sized presentation sort."""
     for name, n_exchanges in (("q27_stats_aggs", 2), ("q26_having", 1)):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
-        assert plan.count("lineitem.parquet") == 1, name
         assert "SortAggregate" not in plan, name
         assert plan.count("Exchange") == n_exchanges, (name, plan.count("Exchange"))
+    q27 = _plan(reg["q27_stats_aggs"].spark_fn(spark, sf_dir))
+    assert q27.count("lineitem.parquet") == 1
+    q26 = _plan(reg["q26_having"].spark_fn(spark, sf_dir))
+    assert "SelectedBucketsCount: 16 out of 16" in q26  # bucketed scan
+    # the one exchange sits on the HAVING-filtered OUTPUT, above the agg
+    assert q26.index("Exchange") < q26.index("HashAggregate")
 
 
 def test_simhash_single_shuffle(spark, sf_dir, reg):
