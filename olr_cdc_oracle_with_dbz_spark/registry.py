@@ -108,6 +108,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q33_frames",
     "q34_topk_per_group",
     "q17_anti_join",
+    "q26_having",
     "l2b_ngram_jaccard",
     # r7-green block (latest green r7 — 2 rounds stale after r9 if missed;
     # everything below must land inside the window or lead DRIVER_FIRST
