@@ -284,7 +284,17 @@ def _jaccard_pairs(
     # exchange is added. On a cluster, width scales with executor count
     # via defaultParallelism.
     if width is None:
-        width = max(spark.sparkContext.defaultParallelism, 8)
+        # Width scales with DATA, capped by the pool: the join's work is
+        # candidate-pair-sized, which grows with corpus size — ~2k docs per
+        # task reproduces the measured sf1 optimum (50k docs → full ~25-way
+        # pool, the 19.5 → 9.9 s measurement above) while a 5k-doc corpus
+        # (sf0.1) stops paying the task-launch floor for ~24 near-empty
+        # partitions — 3× the useful width there, measured r9. Footer row
+        # count is a driver-side metadata read — zero jobs.
+        from olr_cdc_oracle_with_dbz_spark.catalog import row_count
+
+        docs_n = row_count(sf_dir, "documents") or 0
+        width = max(8, min(docs_n // 2000, spark.sparkContext.defaultParallelism))
     tri = tri.repartition(width, "shingle", "lang")
     a, b = tri.alias("a").hint("shuffle_hash"), tri.alias("b").hint("shuffle_hash")
     # Aggregation shape (r8): a pair's co-occurrence rows are spread across
