@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
+from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges, presort_static, ordered_static
@@ -291,9 +291,7 @@ def _jaccard_pairs(
         # (sf0.1) stops paying the task-launch floor for ~24 near-empty
         # partitions — 3× the useful width there, measured r9. Footer row
         # count is a driver-side metadata read — zero jobs.
-        from olr_cdc_oracle_with_dbz_spark.catalog import row_count
-
-        docs_n = row_count(sf_dir, "documents") or 0
+        docs_n = row_count(sf_dir, "documents")
         width = max(8, min(docs_n // 2000, spark.sparkContext.defaultParallelism))
     tri = tri.repartition(width, "shingle", "lang")
     a, b = tri.alias("a").hint("shuffle_hash"), tri.alias("b").hint("shuffle_hash")
@@ -319,8 +317,16 @@ def _jaccard_pairs(
         F.col("b.doc_id").alias("doc_b"),
         (F.shiftleft(F.col("a.sz").cast("long"), 32) + F.col("b.sz")).alias("_szs"),
     )
+    # Pair-aggregation width is sized SEPARATELY from the join width
+    # (ADVICE r9): the aggregation's input is candidate-pair-sized
+    # (Σ k(k-1)/2 per shingle bucket), which grows far faster than doc
+    # count on duplicate-heavy corpora — reusing the doc-scaled width
+    # under-partitions this stage exactly when it is largest. Floor it at
+    # the full pool width; a duplicate-heavy corpus keeps every core busy
+    # here even when the doc count alone would not justify it.
+    pair_width = max(width, spark.sparkContext.defaultParallelism)
     inter = (
-        cooc.repartition(width, "doc_a", "doc_b")
+        cooc.repartition(pair_width, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b", "_szs")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -19,7 +19,9 @@ Config shape (every key maps to a reference connector setting, cited):
       },
       "filter": {"schema": "OLR_DB", "table": "PRODUCT"},  # OLR filter (R3)
       "schema_registry": "/meta/schemas",     # versioned decode (R16), optional
-      "sink": {"table_dir": "/tables/products", "pk": "id"},  # upsert (R8/R9)
+      "sink": {"table_dir": "/tables/products", "pk": "id",
+               "min_batch_events": 500000},   # upsert (R8/R9); coalesce
+                                              # undersized batches (CDC_STEADY_r09)
       "checkpoint": "/ckpt/products",         # resume (R15)
     }
 """
@@ -115,7 +117,14 @@ def run_pipeline(
         )
 
     query = materialize_stream(
-        env, table, config["checkpoint"], trigger_once=trigger_once
+        env,
+        table,
+        config["checkpoint"],
+        trigger_once=trigger_once,
+        # sink batch-sizing knob (CDC_STEADY_r09): micro-batches below this
+        # event count are spooled and merged together, amortizing the
+        # per-commit floor. 0 = merge every micro-batch (default).
+        min_batch_events=sink.get("min_batch_events", 0),
     )
     return query, table
 

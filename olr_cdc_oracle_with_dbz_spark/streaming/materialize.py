@@ -255,14 +255,84 @@ class ParquetUpsertTable:
         }
         self._commit(label, buckets)
 
-    def foreach_batch(self):
-        """The function handed to ``writeStream.foreachBatch``."""
+    # -- micro-batch coalescing (spool) -------------------------------------
+    # CDC_STEADY_r09 decomposition: each MERGE commit pays a ~1 s fixed
+    # floor (16-bucket partitioned write + manifest commit) regardless of
+    # batch size — ≥500k-event micro-batches amortize it (149.6k ev/s at
+    # the 650k tail vs 46–51k at small batches). The spool turns that
+    # production guidance into code: undersized micro-batches are staged
+    # as parquet under ``_spool/`` (idempotent per-batch overwrite, so a
+    # foreachBatch replay after failure rewrites the same path) and one
+    # MERGE runs when the accumulated events cross ``min_batch_events``.
+    # Crash safety: a batch is durable in the spool before its checkpoint
+    # offset commits, and the eventual merge is the same idempotent
+    # latest-SCN-wins MERGE — a crash between flush and spool-clear only
+    # replays the merge. At 100 TB the same pattern holds with the spool
+    # on object storage; merge cost stays O(batch + touched buckets).
+    _SPOOL = "_spool"
+
+    def _spool_dir(self) -> str:
+        return os.path.join(self.table_dir, self._SPOOL)
+
+    def spool_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
+        """Stage one micro-batch's unwrapped rows durably, without merging."""
+        out = os.path.join(self._spool_dir(), f"b{batch_id:012d}")
+        unwrapped.write.mode("overwrite").parquet(out)
+
+    def spool_events(self) -> int:
+        """Accumulated staged events — parquet footer metadata, zero jobs."""
+        root = self._spool_dir()
+        if not os.path.isdir(root):
+            return 0
+        import pyarrow.parquet as pq
+
+        n = 0
+        for dirpath, _dirs, names in os.walk(root):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        return n
+
+    def flush_spool(self, batch_id: int) -> bool:
+        """MERGE everything staged as ONE batch, then clear the spool.
+
+        Returns True if a merge ran. Callers running with
+        ``min_batch_events`` should call this once after the stream
+        terminates so a sub-threshold tail is published.
+        """
+        import shutil
+
+        root = self._spool_dir()
+        if self.spool_events() == 0:
+            shutil.rmtree(root, ignore_errors=True)
+            return False
+        staged = [os.path.join(root, d) for d in sorted(os.listdir(root))]
+        staged = [p for p in staged if os.path.isdir(p)]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*staged)
+        self.merge_batch(df, batch_id)
+        shutil.rmtree(root, ignore_errors=True)
+        return True
+
+    def foreach_batch(self, min_batch_events: int = 0):
+        """The function handed to ``writeStream.foreachBatch``.
+
+        ``min_batch_events > 0`` coalesces undersized micro-batches: rows
+        are spooled until the staged total reaches the threshold, then one
+        MERGE publishes them all (amortizing the per-commit floor —
+        CDC_STEADY_r09). 0 keeps the merge-every-batch behavior.
+        """
 
         def fn(env_batch: DataFrame, batch_id: int) -> None:
             # per-batch: unwrap envelope rows, then keyed merge. Keeping the
             # state columns (_scn) in the table makes replay idempotent and
             # preserves the total order for the next merge.
-            self.merge_batch(unwrap(env_batch, self.extra_cols), batch_id)
+            unwrapped = unwrap(env_batch, self.extra_cols)
+            if min_batch_events <= 0:
+                self.merge_batch(unwrapped, batch_id)
+                return
+            self.spool_batch(unwrapped, batch_id)
+            if self.spool_events() >= min_batch_events:
+                self.flush_spool(batch_id)
 
         return fn
 
@@ -272,16 +342,20 @@ def materialize_stream(
     table: ParquetUpsertTable,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    min_batch_events: int = 0,
 ) -> StreamingQuery:
     """Run the envelope stream into the upsert table (S1/S7).
 
     ``checkpointLocation`` provides the OLR-checkpoint-equivalent resume
     contract: offsets of consumed source files + commit log of completed
-    batches (R15).
+    batches (R15). ``min_batch_events`` (CDC_STEADY_r09): coalesce
+    undersized micro-batches in the spool and MERGE once the staged total
+    crosses the threshold — call ``table.flush_spool(...)`` after the
+    stream terminates to publish a sub-threshold tail.
     """
     writer = (
         env_stream.writeStream.outputMode("update")
-        .foreachBatch(table.foreach_batch())
+        .foreachBatch(table.foreach_batch(min_batch_events=min_batch_events))
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

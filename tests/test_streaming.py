@@ -624,3 +624,54 @@ def test_merge_batch_sequence_less_frame(spark, tmp_path):
         frame([(1, None, 300, "d", True), (1, "a3", 300, "c", False)]), batch_id=3
     )
     assert table.read().count() == 0
+
+
+def test_min_batch_events_coalesces_micro_batches(spark, tmp_path):
+    """CDC_STEADY_r09 knob: undersized micro-batches spool and merge ONCE.
+
+    Two files, maxFilesPerTrigger=1 → two micro-batches (5 + 7 events).
+    With min_batch_events=6 the first batch stays in the spool (no commit);
+    the second crosses the threshold and publishes ONE merged version whose
+    state equals the merge-every-batch golden result.
+    """
+    src = str(tmp_path / "in")
+    lines = json_lines()
+    _write_events(src, lines[:5], "part-000.jsonl")
+    # FileStreamSource orders batches by modification time — backdate the
+    # first file so the 5-event batch deterministically runs first
+    import time as _time
+
+    past = _time.time() - 60
+    os.utime(os.path.join(src, "part-000.jsonl"), (past, past))
+    _write_events(src, lines[5:], "part-001.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    q = materialize_stream(
+        read_cdc_stream(spark, src, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        min_batch_events=6,
+    )
+    q.awaitTermination(120)
+    assert len(table.versions()) == 1  # ONE commit, not two
+    assert table.spool_events() == 0  # spool drained
+    assert _final_ids(table) == _GOLDEN
+
+
+def test_min_batch_events_tail_flush(spark, tmp_path):
+    """A sub-threshold tail stays spooled until flush_spool publishes it."""
+    src = str(tmp_path / "in")
+    _write_events(src, json_lines(), "all.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    q = materialize_stream(
+        read_cdc_stream(spark, src),
+        table,
+        str(tmp_path / "ck"),
+        min_batch_events=1000,  # never reached — everything spools
+    )
+    q.awaitTermination(120)
+    assert table.versions() == []  # nothing published yet
+    assert table.spool_events() == 12
+    assert table.flush_spool(batch_id=999) is True
+    assert _final_ids(table) == _GOLDEN
+    assert table.spool_events() == 0
+    assert table.flush_spool(batch_id=1000) is False  # idempotent no-op
