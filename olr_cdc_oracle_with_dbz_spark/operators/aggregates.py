@@ -95,29 +95,44 @@ def q22_hash_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregate, in the form Catalyst plans best.
 
-    Catalyst's RewriteDistinctAggregates compiles N countDistinct columns
-    into ONE Expand (N rows per input row) followed by a PARTIAL hash
-    aggregate on (group, gid, value) BEFORE the exchange — so the shuffle
-    carries |distinct pairs|, not N·|rows|; the N× blow-up exists only
-    in-core between two pipelined operators of the same stage. That makes
-    it scale-safe AND faster than every manual decomposition tried
-    (r9 measurement, sf3/18M rows, healthy window, median of 3):
-    Expand form 3.06 s; manual stack+distinct (the r2–r8 form) 4.44 s;
-    three independent countDistinct aggs joined on the group key 4.00 s;
-    encoded-pair dedupe 4.04 s; mapInPandas np.unique partial 8.9 s
-    (Arrow transfer dominates). The remaining gap to DuckDB (~12×) is a
-    flat constant factor across octaves (11.4× sf1, ~12× sf3) on native-
-    vs-JVM hash dedup throughput, not a widening scale pathology —
-    SCALE.md §7.
+    Two-pass split (r10, replacing the pure Expand form): the three
+    distincts are NOT equal — suppkey/partkey have tiny domains (1k/20k)
+    while orderkey's domain is |orders| (4.5M at sf3), so orderkey
+    dominated the Expand shuffle (|distinct (rf, orderkey) pairs| ≈ fact
+    row count). The orderkey leg now reads the CO-BUCKETED lineitem
+    (q13b/q26 layout): HashPartitioning(l_orderkey) satisfies the
+    (rf, orderkey) dedup's required distribution, so that aggregation
+    runs with ZERO exchange, and the follow-up count-per-rf ships 3 rows
+    per partition. The small-domain pair runs as a 2-distinct Expand on
+    the raw scan (shuffle = |distinct pairs| ≤ 3·21k). Cost model at
+    100 TB: one extra scan vs an orders-sized shuffle — shuffle bytes
+    dominate, the split wins. Measured sf3 same-window medians (r10):
+    Expand 2.71 s → two-pass 1.96 s (values hash-identical). Earlier
+    forms for the record (r9): manual stack+distinct 4.44 s, three
+    independent aggs joined 4.00 s, encoded-pair dedupe 4.04 s,
+    mapInPandas np.unique partial 8.9 s.
     """
+    from olr_cdc_oracle_with_dbz_spark.operators.storage import (
+        ensure_cobucketed_facts,
+    )
+
     li = Catalog(spark, sf_dir).lineitem
+    li_b, _ = ensure_cobucketed_facts(spark, sf_dir)
+    n_order = (
+        li_b.select("l_returnflag", "l_orderkey")
+        .filter(F.col("l_orderkey").isNotNull())  # COUNT(DISTINCT) excludes NULL
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_order"))
+    )
+    small = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("l_partkey").alias("n_part"),
-            F.countDistinct("l_orderkey").alias("n_order"),
-        )
+        small.join(n_order, "l_returnflag")
+        .select("l_returnflag", "n_supp", "n_part", "n_order")
         .transform(ordered, "l_returnflag")
     )
 

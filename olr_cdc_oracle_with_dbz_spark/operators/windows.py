@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
     DEC,
+    _micros,
     ordered,
     ordered_static,
     presort_ranges,
@@ -117,7 +118,9 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF, and the one long→double division renders identically in both
     engines)."""
     o = Catalog(spark, sf_dir).orders
-    mic_price = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    # _micros: codegen-arithmetic rounding — Round's per-value BigDecimal
+    # was the dominant scan-side constant (scripts/profile_q22.py, r10)
+    mic_price = _micros("o_totalprice")
     running = (
         Window.partitionBy("_srp", "o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

@@ -61,9 +61,31 @@ def _micros(col: Column | str) -> Column:
     Headroom: |Σ| < 2⁶³ holds through ~10¹² rows of 10⁶-unit values —
     fine for these checked queries; :func:`dsum` (decimal) remains the
     tool for squared/product moments (q27) where micro-units overflow.
+
+    Rounding is spelled as primitive codegen arithmetic, not ``F.round``:
+    Spark's Round on a double allocates ``BigDecimal.valueOf(y).setScale``
+    PER VALUE, which profiled as the single largest constant in every
+    lineitem-scan aggregate (scripts/profile_q22.py, sf3: the 7-sum q22
+    aggregate was 2.4 s with Round vs 0.45 s with this form — worse than
+    the 1.1 s single-threaded figure under 32 threads, i.e. allocation
+    churn anti-scales). The replacement is EXACT half-away-from-zero for
+    |y| < 2⁵²: ``floor(|y|)`` is exact, the fractional remainder
+    ``|y| − floor(|y|)`` is an exact FP subtraction (the low significand
+    bits), and ``≥ 0.5`` decides the round-up — no ``+0.5`` addition, so
+    none of the classic double-rounding boundary bug; and BigDecimal
+    HALF_UP on the shortest-decimal repr agrees with exact-binary
+    half-away for every double below 2⁵² (a representable boundary k+0.5
+    can never sit strictly between a double and its shortest repr). For
+    |y| ≥ 2⁵² the fraction is identically 0 and the path degenerates to
+    the plain cast, same as before. Verified hash-identical to the Round
+    form across the full oracle suite at sf0.01/sf0.1/sf1 (r10).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 1_000_000).cast("long")
+    y = c * 1_000_000
+    a = F.abs(y)
+    m = F.floor(a)  # LongType; exact for |y| < 2⁶³
+    mag = m + (a - m >= 0.5).cast("long")
+    return F.when(y < 0, -mag).otherwise(mag)
 
 
 def sum6(col: Column | str) -> Column:
