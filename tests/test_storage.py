@@ -151,3 +151,20 @@ def test_q34_bucketed_window_no_input_exchange(spark, sf_dir, reg):
     # the one exchange is ordered_static's slot-tag repartition, and it
     # sits ABOVE the window (output side), not below it
     assert plan.index("Exchange") < plan.index("Window ")
+
+
+def test_q23_orderkey_leg_exchange_free(spark, sf_dir, reg):
+    """q23 r10 two-pass split: the dominant (returnflag, orderkey) dedup
+    must run over the co-bucketed lineitem with NO exchange below it —
+    HashPartitioning(l_orderkey) satisfies the clustering — so the only
+    hash exchanges in the plan are the tiny group-by-returnflag legs and
+    the Expand distinct-pairs shuffle. An exchange on (returnflag,
+    orderkey) means the bucket layout stopped being recognized."""
+    import re
+
+    plan = _plan(reg["q23_count_distinct"].spark_fn(spark, sf_dir))
+    assert "Bucketed: true" in plan  # the orderkey leg reads bucket files
+    assert "Expand" in plan  # the supp/part 2-distinct leg
+    assert not re.search(
+        r"Exchange hashpartitioning\(l_returnflag#\d+, l_orderkey", plan
+    ), "orderkey dedup gained an exchange"
