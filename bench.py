@@ -304,11 +304,22 @@ def main() -> None:
                 "cdc_single_batch_merge_events_per_sec": "merge_events_per_sec",
                 "cdc_steady_merge_events_per_sec": "steady_merge_events_per_sec",
             }
+            carried_any = False
             for src, dst in carry.items():
                 if prior.get(src, -1.0) > 0:
                     cdc_stats[dst] = prior[src]
-            if prior.get("cdc_ingest"):
-                cdc_stats.setdefault("carried_from_prior_run", True)
+                    carried_any = True
+            if carried_any:
+                # provenance (ADVICE r10): flag is tied to the ACT of
+                # carrying, and repeated skips accumulate a generation
+                # counter so the headline's origin can't be laundered by
+                # consecutive skipped runs. carried_generations=1 means the
+                # figures were measured by the immediately prior run.
+                prior_cdc = prior.get("cdc_ingest") or {}
+                cdc_stats["carried_from_prior_run"] = True
+                cdc_stats["carried_generations"] = (
+                    int(prior_cdc.get("carried_generations", 0)) + 1
+                )
             cdc_policy = "skipped_this_run_carried_forward_prior_best"
         except Exception:
             cdc_policy = "skipped_this_run_no_prior_record"

@@ -130,9 +130,23 @@ def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
     )
+    # Null-safe LEFT join (ADVICE r10): a group whose l_orderkey values are
+    # all NULL emits no n_order row (COUNT(DISTINCT) must report 0, not drop
+    # the group), and a NULL l_returnflag group must survive the rejoin —
+    # `<=>` keeps both, matching the single-aggregate countDistinct form on
+    # arbitrary data. Both sides are ≤|distinct rf| rows, so the broadcast
+    # join shape is unchanged.
+    n_order = n_order.withColumnRenamed("l_returnflag", "_rf")
     return (
-        small.join(n_order, "l_returnflag")
-        .select("l_returnflag", "n_supp", "n_part", "n_order")
+        small.join(
+            n_order, F.col("l_returnflag").eqNullSafe(F.col("_rf")), "left"
+        )
+        .select(
+            "l_returnflag",
+            "n_supp",
+            "n_part",
+            F.coalesce("n_order", F.lit(0)).alias("n_order"),
+        )
         .transform(ordered, "l_returnflag")
     )
 

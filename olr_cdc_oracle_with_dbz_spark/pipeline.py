@@ -116,6 +116,7 @@ def run_pipeline(
             envelope_schema=envelope_ddl,
         )
 
+    min_batch_events = sink.get("min_batch_events", 0)
     query = materialize_stream(
         env,
         table,
@@ -124,8 +125,20 @@ def run_pipeline(
         # sink batch-sizing knob (CDC_STEADY_r09): micro-batches below this
         # event count are spooled and merged together, amortizing the
         # per-commit floor. 0 = merge every micro-batch (default).
-        min_batch_events=sink.get("min_batch_events", 0),
+        min_batch_events=min_batch_events,
     )
+    if trigger_once and min_batch_events > 0:
+        # A bounded run must publish its sub-threshold tail (ADVICE r10):
+        # otherwise rows below the threshold sit durably in _spool/ while
+        # the checkpoint commits, and readers see stale state. trigger_once
+        # queries are finite, so awaiting here keeps run_pipeline's
+        # "returns a queryable table" contract honest; continuous streams
+        # call run_to_completion (or flush_spool) at shutdown themselves.
+        from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+            run_to_completion,
+        )
+
+        run_to_completion(query, table)
     return query, table
 
 

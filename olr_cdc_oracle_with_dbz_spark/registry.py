@@ -87,71 +87,10 @@ def register(
 #: behind, so the STALEST queries always lead, followed by canaries for
 #: code touched this round, then the previous round's displaced block.
 DRIVER_FIRST: tuple[str, ...] = (
-    # --- r10 rotation. Window budget is ~50; with 106 oracle-backed rows
-    # the full cycle is >2 rounds, so priorities are, in order:
-    # (1) STALEST first — the 10 rows whose latest green is r7 (they
-    #     missed r9's window at positions 51+; 3 rounds behind if missed
-    #     again).
-    "l2fv_minhash_ml_recall",
-    "l4bv_bruteforce_agreement",
-    "l4dv_ann_brp_recall",
-    "l5b_lang_id",
-    "l5d_redact_pii",
-    "l5e_boilerplate",
-    "l7_fingerprint",
-    "l9_train_split",
-    "l9b_stratified_sample",
-    "m2_multimodal_features",
-    # (2) r10 CANARIES — every query whose implementation changed this
-    #     round must re-validate in-window: the _micros codegen-rounding
-    #     rework (q20/q20b/q22/q24/q26/q30/q33/s2/s3), the q23 two-pass
-    #     split, and l2b's pair-width sizing.
-    "q22_hash_agg_tpch_q1",
-    "q23_count_distinct",
-    "q24_global_agg",
-    "q26_having",
-    "q30_filtered_agg",
-    "q20_multiway_join",
-    "q20b_multiway_cobucketed",
-    "q33_frames",
-    "s2_tumbling_window",
-    "s3_sliding_window",
-    "l2b_ngram_jaccard",
-    # (3) r8-green refresh (2 rounds stale): the load-bearing subset —
-    #     flagship joins, stats, CDC family, LLM ops and recall gates.
-    "q13_inner_join",
-    "q13b_join_cobucketed",
-    "q27_stats_aggs",
-    "q35_multikey_sort",
-    "q36_limit_topk",
-    "q44b_pivot",
-    "q44c_unpivot",
-    "q45_json_funcs",
-    "q45b_from_to_json",
-    "q46_hash_misc",
-    "q47_scalar_subquery",
-    "q48_exists_subquery",
-    "q48b_in_subquery",
-    "q50_envelope_parse",
-    "q50b_envelope_evolved",
-    "q51_unwrap",
-    "q52_upsert_compaction",
-    "q53_snapshot_incremental",
-    "q54_changelog_stats",
-    "l1_exact_dedup",
-    "l2v_minhash_recall",
-    "l3_cosine_topk",
-    "l4v_ann_lsh_recall",
-    "l4cv_ann_ivf_recall",
-    "l5_text_stats",
-    "l5c_quality_score",
-    "l6_tfidf",
-    "l8_curation_pipeline",
-    "m1_multimodal_meta",
-    # ---- ~window boundary (50). The 16 rows below are the REMAINING
-    # r8-green block: the longest-stable untouched rows (scans, setops,
-    # scalar matrices, green since r2). They take any window slack this
-    # round and MUST lead DRIVER_FIRST in r11 (3 rounds stale there).
+    # --- r11 rotation. Window budget is ~50; rotation invariant: no
+    # query's latest green falls more than 3 rounds behind, STALEST lead.
+    # (1) The 16 rows whose latest green is r8 (3 rounds stale this round
+    #     — the r10 verdict's named rotation debt; they MUST all clear).
     "q01_scan_full",
     "q02_scan_pruned",
     "q03_csv_roundtrip",
@@ -168,6 +107,51 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q43b_explode",
     "q43c_higher_order",
     "q44_struct_map",
+    # (2) r11 CANARY — q23's rejoin became a null-safe LEFT join
+    #     (ADVICE r10); re-validate the hash in-window.
+    "q23_count_distinct",
+    # (3) r9-green refresh (2 rounds stale, 40 rows — fills the window;
+    #     the ~7 that spill past the cutoff lead r12's rotation).
+    "l2c_simhash",
+    "l2d_embedding_neardup",
+    "l2e_dup_clusters",
+    "q05_arith_projection",
+    "q06_filter_bool",
+    "q07_between_date",
+    "q08_in_list",
+    "q09_like_regex",
+    "q10_null_semantics",
+    "q10b_null_safe_eq",
+    "q11_case_when",
+    "q12_cast_matrix",
+    "q14_broadcast_join",
+    "q15_outer_joins",
+    "q15b_full_outer",
+    "q16_semi_join",
+    "q17_anti_join",
+    "q18_range_join",
+    "q19_cross_join",
+    "q21_asof_join",
+    "q21b_funnel",
+    "q21c_retention",
+    "q25_rollup",
+    "q25b_cube",
+    "q25c_grouping_sets",
+    "q28_percentile",
+    "q29_distinct_exact_vs_approx",
+    "q29b_approx_aggs",
+    "q31_ranking",
+    "q31b_distribution_ranks",
+    "q32_lag_lead",
+    "q34_topk_per_group",
+    "q49_cte",
+    "s4_session_window",
+    "u1_python_udf",
+    "u2_pandas_udf",
+    "u3_apply_in_pandas",
+    "u4_udaf_weighted_avg",
+    "u4b_weighted_avg_builtin",
+    "u5_tokenize_udtf",
 )
 
 _loaded = False

@@ -267,50 +267,85 @@ class ParquetUpsertTable:
     # Crash safety: a batch is durable in the spool before its checkpoint
     # offset commits, and the eventual merge is the same idempotent
     # latest-SCN-wins MERGE — a crash between flush and spool-clear only
-    # replays the merge. At 100 TB the same pattern holds with the spool
-    # on object storage; merge cost stays O(batch + touched buckets).
+    # replays the merge. The spool bookkeeping below (os.walk/os.listdir/
+    # shutil) is DRIVER-LOCAL filesystem I/O — correct for this build's
+    # local tables; on a cluster the staging dir must live on shared
+    # storage and the directory ops route through the Hadoop FS API (the
+    # same seam ``_commit``/``read`` would swap for Delta). The merge-cost
+    # shape is unchanged either way: O(staged batch + touched buckets).
     _SPOOL = "_spool"
 
     def _spool_dir(self) -> str:
         return os.path.join(self.table_dir, self._SPOOL)
 
-    def spool_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
-        """Stage one micro-batch's unwrapped rows durably, without merging."""
-        out = os.path.join(self._spool_dir(), f"b{batch_id:012d}")
-        unwrapped.write.mode("overwrite").parquet(out)
-
-    def spool_events(self) -> int:
-        """Accumulated staged events — parquet footer metadata, zero jobs."""
-        root = self._spool_dir()
-        if not os.path.isdir(root):
-            return 0
+    @staticmethod
+    def _footer_rows(path: str) -> int:
+        """Row count of one staged batch dir from parquet footers (no jobs)."""
         import pyarrow.parquet as pq
 
         n = 0
-        for dirpath, _dirs, names in os.walk(root):
+        for dirpath, _dirs, names in os.walk(path):
             for f in names:
                 if f.endswith(".parquet"):
                     n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
         return n
 
-    def flush_spool(self, batch_id: int) -> bool:
+    def _spool_rows(self) -> dict[str, int]:
+        """Per-batch-dir staged row counts: derived ONCE from footers (crash
+        recovery / first touch), then maintained incrementally — ADVICE r10:
+        rescanning every footer on every micro-batch was O(staged files)
+        driver work that grew until flush.
+        """
+        cache = getattr(self, "_spool_rows_cache", None)
+        if cache is None:
+            cache = {}
+            root = self._spool_dir()
+            if os.path.isdir(root):
+                for d in sorted(os.listdir(root)):
+                    p = os.path.join(root, d)
+                    if os.path.isdir(p):
+                        cache[d] = self._footer_rows(p)
+            self._spool_rows_cache = cache
+        return cache
+
+    def spool_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
+        """Stage one micro-batch's unwrapped rows durably, without merging."""
+        label = f"b{batch_id:012d}"
+        out = os.path.join(self._spool_dir(), label)
+        unwrapped.write.mode("overwrite").parquet(out)
+        # keyed by dir name, so a foreachBatch REPLAY (same batch_id,
+        # overwritten path) replaces the entry instead of double-counting
+        self._spool_rows()[label] = self._footer_rows(out)
+
+    def spool_events(self) -> int:
+        """Accumulated staged events — incremental counter, zero jobs."""
+        return sum(self._spool_rows().values())
+
+    def flush_spool(self, batch_id: int | None = None) -> bool:
         """MERGE everything staged as ONE batch, then clear the spool.
 
-        Returns True if a merge ran. Callers running with
-        ``min_batch_events`` should call this once after the stream
-        terminates so a sub-threshold tail is published.
+        Returns True if a merge ran. ``batch_id`` defaults to the highest
+        staged micro-batch's id, so an end-of-stream tail flush (see
+        :func:`run_to_completion`) versions under the last batch it covers.
         """
         import shutil
 
         root = self._spool_dir()
         if self.spool_events() == 0:
             shutil.rmtree(root, ignore_errors=True)
+            self._spool_rows_cache = {}
             return False
-        staged = [os.path.join(root, d) for d in sorted(os.listdir(root))]
-        staged = [p for p in staged if os.path.isdir(p)]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*staged)
+        staged = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        if batch_id is None:
+            batch_id = max(int(d.lstrip("b")) for d in staged)
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(root, d) for d in staged)
+        )
         self.merge_batch(df, batch_id)
         shutil.rmtree(root, ignore_errors=True)
+        self._spool_rows_cache = {}
         return True
 
     def foreach_batch(self, min_batch_events: int = 0):
@@ -361,3 +396,23 @@ def materialize_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_to_completion(
+    query: StreamingQuery,
+    table: ParquetUpsertTable,
+    timeout_sec: float | None = None,
+) -> bool:
+    """Await stream termination, then publish any sub-threshold spool tail.
+
+    The companion to ``min_batch_events`` (ADVICE r10): without it, a
+    bounded run whose total events fall below the threshold commits its
+    checkpoint offsets while the rows sit durably-but-unpublished in the
+    spool. Returns True if a tail merge ran. Safe when no spool is in
+    play (flush of an empty spool is a no-op).
+    """
+    if timeout_sec is None:
+        query.awaitTermination()
+    else:
+        query.awaitTermination(timeout_sec)
+    return table.flush_spool()

@@ -112,6 +112,78 @@ def _phase_decompose(spark, work: str, unw, tail, n_tail: int) -> dict:
     return out
 
 
+def _spool_compare(spark, work: str, seed: str, tail, n_tail: int) -> dict:
+    """r10 verdict item 4: the min_batch_events spool, measured end-to-end.
+
+    The steady-merge headline times ONE big tail merge; production streams
+    arrive as many undersized micro-batches, each paying the ~1 s commit
+    floor (CDC_STEADY_r09 decomposition). This phase splits the tail into
+    K micro-batches (hash-split by key, so each key's events stay within
+    one batch) and merges them into the seeded state two ways:
+
+      unspooled — merge_batch per micro-batch (floor paid K times);
+      spooled   — the production spool path (spool_batch → threshold
+                  flush → tail flush), floor paid ceil(n/threshold)+1
+                  times; staging is a plain parquet append of batch bytes.
+
+    Both modes read identical pre-staged parquet batches and start from a
+    copytree of the same seed (untimed). Best-of-2 per mode. The spooled
+    loop is exactly ``ParquetUpsertTable.foreach_batch``'s post-unwrap
+    logic plus the ``run_to_completion`` tail flush.
+    """
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        ParquetUpsertTable,
+    )
+
+    k, threshold = 10, 500_000
+    parts = f"{work}/parts"
+    (
+        tail.withColumn("_mb", F.pmod(F.xxhash64(F.col("id")), F.lit(k)))
+        .write.partitionBy("_mb")
+        .mode("overwrite")
+        .parquet(parts)
+    )
+    batches = [
+        spark.read.parquet(f"{parts}/_mb={i}") for i in range(k)
+        if os.path.isdir(f"{parts}/_mb={i}")
+    ]
+
+    def run(spooled: bool) -> tuple[float, int]:
+        tgt = f"{work}/spoolcmp"
+        shutil.rmtree(tgt, ignore_errors=True)
+        shutil.copytree(seed, tgt)
+        table = ParquetUpsertTable(spark, tgt, key="id")
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            if not spooled:
+                table.merge_batch(b, i)
+                continue
+            table.spool_batch(b, i)
+            if table.spool_events() >= threshold:
+                table.flush_spool(i)
+        if spooled:
+            table.flush_spool()
+        el = time.perf_counter() - t0
+        return el, table.read().count()
+
+    un_sec, un_n = min(run(False) for _ in range(2))
+    sp_sec, sp_n = min(run(True) for _ in range(2))
+    assert un_n == sp_n, f"spool path diverged: {un_n} != {sp_n}"
+    return {
+        "micro_batches": len(batches),
+        "events": n_tail,
+        "min_batch_events": threshold,
+        "unspooled_sec": round(un_sec, 3),
+        "unspooled_events_per_sec": round(n_tail / un_sec, 1),
+        "spooled_sec": round(sp_sec, 3),
+        "spooled_events_per_sec": round(n_tail / sp_sec, 1),
+        "spool_speedup": round(un_sec / sp_sec, 2),
+        "final_rows_equal": True,
+    }
+
+
 def main() -> None:
     # SPARK_GRAFT_SF_DIRS: comma-separated corpus dirs probed in ONE
     # session, same window (r8 verdict item 4 — cross-corpus comparisons
@@ -201,6 +273,7 @@ def _probe_one(spark, sf_dir: str) -> dict:
             "bulk figure is the empty-table upper bound",
         )
         out["phases"] = _phase_decompose(spark, work, unw, tail, n_tail)
+        out["spool"] = _spool_compare(spark, work, seed, tail, n_tail)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -147,3 +147,33 @@ def test_pipeline_with_quarantine_dead_letters(spark, tmp_path):
     dead = spark.read.parquet(str(tmp_path / "dead_letters"))
     assert dead.count() == len(bad_lines)
     assert set(r["error"] for r in dead.collect()) == {"unparseable-envelope"}
+
+
+def test_pipeline_min_batch_events_publishes_sub_threshold_tail(spark, tmp_path):
+    """ADVICE r10: a trigger_once run below min_batch_events must still
+    publish — run_pipeline awaits the bounded stream and flushes the spool
+    tail, so the returned table is immediately queryable (no rows stranded
+    durably-but-unpublished in _spool/ with committed offsets)."""
+    src = str(tmp_path / "in")
+    _write(src, json_lines(), "b0.jsonl")
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+        "sink": {
+            "table_dir": str(tmp_path / "tbl"),
+            "pk": "id",
+            "min_batch_events": 1_000_000,  # never reached by 12 events
+        },
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    q, table = run_pipeline(spark, config)
+    assert q.isActive is False  # bounded run was awaited inside
+    assert table.spool_events() == 0  # tail flushed
+    rows = [
+        (r["id"], r["name"], float(r["price"]), r["stock"])
+        for r in table.read()
+        .select("id", "name", "price", "stock")
+        .orderBy("id")
+        .collect()
+    ]
+    assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]

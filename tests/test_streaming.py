@@ -675,3 +675,35 @@ def test_min_batch_events_tail_flush(spark, tmp_path):
     assert _final_ids(table) == _GOLDEN
     assert table.spool_events() == 0
     assert table.flush_spool(batch_id=1000) is False  # idempotent no-op
+
+
+def test_spool_counter_survives_process_restart(spark, tmp_path):
+    """The incremental spool counter (ADVICE r10) must re-derive from
+    parquet footers on a fresh table object — the crash-recovery path —
+    and the default-batch_id flush must publish the staged rows."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        run_to_completion,
+    )
+
+    src = str(tmp_path / "in")
+    _write_events(src, json_lines(), "all.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    q = materialize_stream(
+        read_cdc_stream(spark, src),
+        table,
+        str(tmp_path / "ck"),
+        min_batch_events=1000,  # everything spools
+    )
+    q.awaitTermination(120)
+    assert table.spool_events() == 12
+
+    # "restart": a brand-new object over the same dir sees the staged rows
+    table2 = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    assert table2.spool_events() == 12
+    assert table2.flush_spool() is True  # default batch_id = max staged
+    assert _final_ids(table2) == _GOLDEN
+    assert table2.spool_events() == 0
+
+    # run_to_completion on an already-terminated query with an empty spool
+    # is a harmless no-op
+    assert run_to_completion(q, table2, timeout_sec=5) is False
