@@ -156,7 +156,10 @@ def _spool_compare(spark, work: str, seed: str, tail, n_tail: int) -> dict:
         shutil.copytree(seed, tgt)
         table = ParquetUpsertTable(spark, tgt, key="id")
         t0 = time.perf_counter()
-        for i, b in enumerate(batches):
+        # batch ids start at 1: the seed was committed as batch 0, and a
+        # merge with the SAME id would overwrite the version dir it is
+        # concurrently reading back
+        for i, b in enumerate(batches, start=1):
             if not spooled:
                 table.merge_batch(b, i)
                 continue
