@@ -173,13 +173,24 @@ def run_fanout_pipeline(
     env = parse_envelope(raw, "value").filter(F.col("_schema") == schema_name)
 
     sinks = {t: ParquetUpsertTable(spark, f"{root}/{t}", key=key) for t in tables}
+    # Per-table spool threshold (same sink knob as run_pipeline). Fanout is
+    # where it matters most: routing splits every micro-batch N ways, so
+    # per-table batches are 1/N the size and hit the per-commit floor N
+    # times as often without coalescing.
+    min_batch_events = config["sink"].get("min_batch_events", 0)
 
     def route(batch, batch_id: int) -> None:
         from olr_cdc_oracle_with_dbz_spark.cdc.envelope import unwrap
 
         for t, table in sinks.items():
             part = batch.filter(F.col("_table") == t)
-            table.merge_batch(unwrap(part), batch_id)
+            unwrapped = unwrap(part)
+            if min_batch_events <= 0:
+                table.merge_batch(unwrapped, batch_id)
+                continue
+            table.spool_batch(unwrapped, batch_id)
+            if table.spool_events() >= min_batch_events:
+                table.flush_spool(batch_id)
 
     writer = (
         env.writeStream.outputMode("update")
@@ -188,4 +199,11 @@ def run_fanout_pipeline(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start(), sinks
+    query = writer.start()
+    if trigger_once and min_batch_events > 0:
+        # bounded run: publish every table's sub-threshold tail (same
+        # contract as run_pipeline — ADVICE r10)
+        query.awaitTermination()
+        for table in sinks.values():
+            table.flush_spool()
+    return query, sinks

@@ -177,3 +177,39 @@ def test_pipeline_min_batch_events_publishes_sub_threshold_tail(spark, tmp_path)
         .collect()
     ]
     assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
+
+
+def test_fanout_min_batch_events_publishes_all_tails(spark, tmp_path):
+    """Fanout + min_batch_events: per-table spools coalesce the N-way-split
+    micro-batches, and a bounded run publishes EVERY table's sub-threshold
+    tail before returning (same run_pipeline contract, per table)."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.pipeline import run_fanout_pipeline
+
+    src = str(tmp_path / "fan_in")
+    lines = json_lines()
+    other = [
+        _json.dumps({**_json.loads(s), "source": {**_json.loads(s)["source"], "table": "INVENTORY"}})
+        for s in lines[:5]
+    ]
+    _write(src, lines + other, "b0.jsonl")
+
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "tables": ["PRODUCT", "INVENTORY"]},
+        "sink": {
+            "root_dir": str(tmp_path / "tables"),
+            "pk": "id",
+            "min_batch_events": 1_000_000,  # everything spools
+        },
+        "checkpoint": str(tmp_path / "fan_ck"),
+    }
+    q, sinks = run_fanout_pipeline(spark, config)
+    assert q.isActive is False  # awaited inside
+    for t, table in sinks.items():
+        assert table.spool_events() == 0, t  # every tail flushed
+    prod = {r["id"] for r in sinks["PRODUCT"].read().collect()}
+    inv = {r["id"] for r in sinks["INVENTORY"].read().collect()}
+    assert prod == {r[0] for r in EXPECTED_FINAL}
+    assert inv == {1, 2, 3, 4}
