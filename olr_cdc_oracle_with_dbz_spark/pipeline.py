@@ -85,13 +85,21 @@ def run_pipeline(
         qdir = config["quarantine"]
         raw = spark.readStream.format("text").load(src["path"])
 
+        q_min_batch = sink.get("min_batch_events", 0)
+
         def fn(batch, batch_id: int) -> None:
             good, bad = quarantine_malformed(batch, schema=envelope_ddl)
             bad.write.mode("append").parquet(qdir)
             good = good.filter(
                 (F.col("_schema") == schema_name) & (F.col("_table") == table_name)
             )
-            table.merge_batch(unwrap(good), batch_id)
+            unwrapped = unwrap(good)
+            if q_min_batch <= 0:
+                table.merge_batch(unwrapped, batch_id)
+                return
+            table.spool_batch(unwrapped, batch_id)
+            if table.spool_events() >= q_min_batch:
+                table.flush_spool(batch_id)
 
         writer = (
             raw.writeStream.outputMode("update")
@@ -100,7 +108,12 @@ def run_pipeline(
         )
         if trigger_once:
             writer = writer.trigger(availableNow=True)
-        return writer.start(), table
+        query = writer.start()
+        if trigger_once and q_min_batch > 0:
+            # bounded run: publish the sub-threshold tail (ADVICE r10)
+            query.awaitTermination()
+            table.flush_spool()
+        return query, table
 
     if "kafka" in src:
         from olr_cdc_oracle_with_dbz_spark.sources.kafka import read_kafka_cdc

@@ -213,3 +213,32 @@ def test_fanout_min_batch_events_publishes_all_tails(spark, tmp_path):
     inv = {r["id"] for r in sinks["INVENTORY"].read().collect()}
     assert prod == {r[0] for r in EXPECTED_FINAL}
     assert inv == {1, 2, 3, 4}
+
+
+def test_quarantine_pipeline_min_batch_events_tail_flush(spark, tmp_path):
+    """The permissive-ingest (quarantine) form honors min_batch_events the
+    same way: dead letters divert per batch, good rows spool, and a bounded
+    run publishes the sub-threshold tail before returning."""
+    src = str(tmp_path / "q_in")
+    bad_lines = ["{broken", '{"not": "an envelope"}']
+    _write(src, json_lines() + bad_lines, "b0.jsonl")
+    config = {
+        "source": {"format": "debezium-json", "path": src},
+        "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+        "sink": {
+            "table_dir": str(tmp_path / "q_tbl"),
+            "pk": "id",
+            "min_batch_events": 1_000_000,
+        },
+        "checkpoint": str(tmp_path / "q_ck"),
+        "quarantine": str(tmp_path / "dead"),
+    }
+    q, table = run_pipeline(spark, config)
+    assert q.isActive is False
+    assert table.spool_events() == 0
+    rows = [
+        (r["id"], r["name"], float(r["price"]), r["stock"])
+        for r in table.read().select("id", "name", "price", "stock").orderBy("id").collect()
+    ]
+    assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == len(bad_lines)
