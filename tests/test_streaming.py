@@ -707,3 +707,36 @@ def test_spool_counter_survives_process_restart(spark, tmp_path):
     # run_to_completion on an already-terminated query with an empty spool
     # is a harmless no-op
     assert run_to_completion(q, table2, timeout_sec=5) is False
+
+
+def test_spool_flush_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Crash window: flush_spool MERGEs, then clears the spool. A crash
+    between the two leaves the spool staged after its rows were already
+    published; the restart's re-flush must re-merge idempotently
+    (latest-SCN-wins) and converge to the same state."""
+    import shutil
+
+    src = str(tmp_path / "in")
+    _write_events(src, json_lines(), "all.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    materialize_stream(
+        read_cdc_stream(spark, src),
+        table,
+        str(tmp_path / "ck"),
+        min_batch_events=1000,
+    ).awaitTermination(120)
+    spool = str(tmp_path / "tbl" / "_spool")
+    saved = str(tmp_path / "saved_spool")
+    shutil.copytree(spool, saved)
+
+    assert table.flush_spool() is True
+    state_after_flush = _final_ids(table)
+    assert state_after_flush == _GOLDEN
+
+    # simulate the crash: rows published, but the spool clear never ran
+    shutil.copytree(saved, spool)
+    restarted = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    assert restarted.spool_events() == 12  # counter re-derived from footers
+    assert restarted.flush_spool() is True  # replayed merge
+    assert _final_ids(restarted) == state_after_flush  # idempotent
+    assert restarted.spool_events() == 0
