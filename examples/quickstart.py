@@ -36,7 +36,12 @@ def main() -> None:
     config = {
         "source": {"format": "debezium-json", "path": src},
         "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
-        "sink": {"table_dir": f"{work}/products", "pk": "id"},
+        # min_batch_events: micro-batches below this are spooled and merged
+        # together, amortizing the per-commit floor (CDC_STEADY_r11 measured
+        # 2.1-2.2x at production batch sizes). Bounded (trigger_once) runs
+        # flush the sub-threshold tail automatically before returning.
+        "sink": {"table_dir": f"{work}/products", "pk": "id",
+                 "min_batch_events": 500},
         "checkpoint": f"{work}/ckpt",
     }
     query, table = run_pipeline(spark, config)
