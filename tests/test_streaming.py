@@ -740,3 +740,59 @@ def test_spool_flush_replay_after_crash_is_idempotent(spark, tmp_path):
     assert restarted.flush_spool() is True  # replayed merge
     assert _final_ids(restarted) == state_after_flush  # idempotent
     assert restarted.spool_events() == 0
+
+
+def test_spool_merges_schema_evolution_across_staged_batches(spark, tmp_path):
+    """Spooled batches staged under DIFFERENT schema versions must flush as
+    one evolved MERGE: the mergeSchema read unions v1 batches (no category
+    column) with the v2 batch, and the published table carries the new
+    column with NULLs for pre-evolution rows."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import ENVELOPE_SCHEMA
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    _write_events(src, json_lines(), "b0.jsonl")
+
+    # phase 1: v1 events spool (threshold never reached), nothing published
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    materialize_stream(
+        read_cdc_stream(spark, src), table, ckpt, min_batch_events=1000
+    ).awaitTermination(120)
+    assert table.versions() == []
+    assert table.spool_events() == 12
+
+    # phase 2: schema widens; the evolved event spools into the SAME spool
+    v2_ddl = ENVELOPE_SCHEMA.replace(
+        "updated_date:bigint>", "updated_date:bigint, category:string>"
+    )
+    evolved = _json.dumps({
+        "before": None,
+        "after": {"id": 9, "name": "Evolved", "description": None,
+                  "price": "5.00", "stock": 1,
+                  "created_date": 1704096000000, "updated_date": 1704096000000,
+                  "category": "new-cat"},
+        "op": "c", "ts_ms": 1704096000000,
+        "source": {"schema": "OLR_DB", "table": "PRODUCT", "scn": 200,
+                   "txId": "T9", "rowId": "AAA0x9"},
+    })
+    _write_events(src, [evolved], "b1.jsonl")
+    table2 = ParquetUpsertTable(
+        spark, str(tmp_path / "tbl"), extra_cols=("category",)
+    )
+    materialize_stream(
+        read_cdc_stream(spark, src, envelope_schema=v2_ddl),
+        table2,
+        ckpt,
+        min_batch_events=1000,
+    ).awaitTermination(120)
+    assert table2.spool_events() == 13
+
+    # one flush publishes ONE evolved version from mixed-schema batches
+    assert table2.flush_spool() is True
+    assert len(table2.versions()) == 1
+    final = {r["id"]: r.asDict() for r in table2.read().collect()}
+    assert final[9]["category"] == "new-cat"
+    assert all(final[i]["category"] is None for i in final if i != 9)
+    assert len(final) == len(_GOLDEN) + 1
