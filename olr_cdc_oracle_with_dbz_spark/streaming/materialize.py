@@ -132,6 +132,60 @@ class ParquetUpsertTable:
             df = df.filter(~F.col("__deleted")).drop("__deleted")
         return df
 
+    def read_keys(self, values, version: str | None = None) -> DataFrame | None:
+        """Bucket-pruned point lookup — the sink-database query pattern.
+
+        The reference's users hit the JDBC sink with ``WHERE id = ?``
+        (/root/reference/README.md:829-850, the Postgres side); against
+        this table the equivalent must NOT scan every bucket. The keys'
+        bucket ids are computed with the SAME Spark expression the writer
+        uses (one tiny local job over the literal values — hash semantics
+        stay in one place), then ONLY those buckets' paths are read: at
+        100 TB with thousands of buckets a point lookup touches one
+        bucket's files instead of the table. Returns None when the table
+        has no committed version (or none of the keys' buckets exist yet).
+        """
+        values = list(values)
+        if not values:
+            return None
+        m = self._manifest(version)
+        if m is None:
+            return None
+        # xxhash64 is TYPE-sensitive (an int literal hashes differently
+        # from the same value in a long column), so the lookup literals
+        # must be cast to the STORED key dtype before hashing — read it
+        # from one bucket's parquet footer (driver-side metadata only)
+        any_path = os.path.join(self.table_dir, next(iter(m["buckets"].values())))
+        key_type = dict(
+            (f.name, f.dataType) for f in self.spark.read.parquet(any_path).schema
+        )[self.key]
+        lits = F.array(*[F.lit(v).cast(key_type) for v in values])
+        buckets = {
+            str(r[0])
+            for r in self.spark.range(1)
+            .select(
+                F.explode(
+                    F.transform(
+                        lits,
+                        lambda v: F.pmod(F.xxhash64(v), F.lit(self.n_buckets)),
+                    )
+                )
+            )
+            .distinct()
+            .collect()
+        }  # ≤ len(values) scalars — bounded, not data-sized
+        paths = [
+            os.path.join(self.table_dir, rel)
+            for b, rel in m["buckets"].items()
+            if b in buckets
+        ]
+        if not paths:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "__deleted" in df.columns:
+            df = df.filter(~F.col("__deleted")).drop("__deleted")
+        return df.filter(F.col(self.key).isin(values))
+
     def versions(self) -> list[str]:
         """All retained versions, oldest→newest (batch id order)."""
         suffix = ".manifest.json"

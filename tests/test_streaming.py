@@ -796,3 +796,37 @@ def test_spool_merges_schema_evolution_across_staged_batches(spark, tmp_path):
     assert final[9]["category"] == "new-cat"
     assert all(final[i]["category"] is None for i in final if i != 9)
     assert len(final) == len(_GOLDEN) + 1
+
+
+def test_read_keys_bucket_pruned_point_lookup(spark, tmp_path):
+    """read_keys must return exactly the keyed rows while reading only the
+    keys' bucket files — the sink-database `WHERE id = ?` pattern without
+    a table scan (and with the literal cast to the stored key dtype, since
+    xxhash64 is type-sensitive)."""
+    src = str(tmp_path / "in")
+    _write_events(src, json_lines(), "all.jsonl")
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    materialize_stream(
+        read_cdc_stream(spark, src), table, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    golden = {r[0]: r for r in _final_ids(table)}
+
+    hit = table.read_keys([2])
+    rows = hit.collect()
+    assert [(r["id"], r["name"], float(r["price"]), r["stock"]) for r in rows] == [
+        golden[2]
+    ]
+    # pruning: the lookup read a strict subset of the table's files
+    assert 0 < len(hit.inputFiles()) < len(table.read().inputFiles())
+
+    # multi-key form, python ints against the stored key dtype
+    multi = table.read_keys([1, 3])
+    assert {r["id"] for r in multi.collect()} == {1, 3}
+
+    # a key that never existed: empty (bucket has files, no matching row)
+    # or None (the key's bucket was never written at all)
+    miss = table.read_keys([999])
+    assert miss is None or miss.count() == 0
+    # empty key list and missing table are None-safe
+    assert table.read_keys([]) is None
+    assert ParquetUpsertTable(spark, str(tmp_path / "empty")).read_keys([1]) is None
