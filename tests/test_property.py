@@ -402,3 +402,78 @@ def test_decode_fake_batch_equals_per_row(payloads):
     batch = _decode_fake_batch(payloads, None)
     for p, got in zip(payloads, batch):
         assert np.array_equal(decode_fake(p, "x"), got), p
+
+
+@given(
+    data=st.data(),
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key (heavy dupes)
+            st.sampled_from(["c", "u", "d"]),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "xyz"])),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_spool_split_converges_to_single_merge(spark, tmp_path_factory, data, events):
+    """PROPERTY: for ANY event sequence, ANY micro-batch split, and ANY
+    spool threshold, spool-coalesced merging + tail flush converges to the
+    same table state as one single-batch MERGE — the spool must be purely
+    a batching optimization, never a semantics change."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        ParquetUpsertTable,
+    )
+
+    # unique ascending _scn makes latest-wins deterministic per key
+    rows = [
+        (k, name, 100 + i, op, op == "d")
+        for i, (k, op, name) in enumerate(events)
+    ]
+
+    def frame(rs):
+        return spark.createDataFrame(
+            rs, "id bigint, name string, _scn bigint, op string, __deleted boolean"
+        )
+
+    def state(table):
+        df = table.read()
+        if df is None:
+            return []
+        return sorted((r["id"], r["name"], r["_scn"]) for r in df.collect())
+
+    root = tmp_path_factory.mktemp("spool_prop")
+
+    # golden: everything as ONE merge
+    golden_t = ParquetUpsertTable(spark, str(root / "golden"), key="id", n_buckets=4)
+    golden_t.merge_batch(frame(rows), batch_id=1)
+    golden = state(golden_t)
+
+    # random split into 1..4 contiguous micro-batches + random threshold
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(rows)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+    threshold = data.draw(st.integers(min_value=1, max_value=len(rows) + 5))
+
+    spooled_t = ParquetUpsertTable(spark, str(root / "spooled"), key="id", n_buckets=4)
+    for i, b in enumerate(batches, start=1):
+        spooled_t.spool_batch(frame(b), i)
+        if spooled_t.spool_events() >= threshold:
+            spooled_t.flush_spool(i)
+    spooled_t.flush_spool()
+    assert state(spooled_t) == golden
