@@ -41,13 +41,23 @@ from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
 
 
 def run_pipeline(
-    spark: SparkSession, config: dict, trigger_once: bool = True
+    spark: SparkSession,
+    config: dict,
+    trigger_once: bool = True,
+    timeout_sec: float | None = None,
 ) -> tuple[StreamingQuery, ParquetUpsertTable]:
     """Assemble and start the configured capture→materialize pipeline.
 
     Returns the running query plus the queryable upsert table. Restart with
     the same config resumes from the checkpoint (R15) — the config IS the
     pipeline identity, exactly like re-PUTting a connector config.
+
+    ``timeout_sec`` (ADVICE r11): when ``trigger_once`` and the sink
+    coalesces micro-batches (``min_batch_events > 0``), this call awaits
+    the bounded run so it can publish the sub-threshold spool tail; a
+    wedged availableNow query would otherwise block the caller forever.
+    With a timeout the await returns after ``timeout_sec`` seconds and the
+    tail is flushed from whatever the stream durably staged by then.
     """
     src = config["source"]
     if src.get("format", "debezium-json") != "debezium-json":
@@ -110,8 +120,12 @@ def run_pipeline(
             writer = writer.trigger(availableNow=True)
         query = writer.start()
         if trigger_once and q_min_batch > 0:
-            # bounded run: publish the sub-threshold tail (ADVICE r10)
-            query.awaitTermination()
+            # bounded run: publish the sub-threshold tail (ADVICE r10);
+            # bounded await so a wedged query can't hang us (ADVICE r11)
+            if timeout_sec is None:
+                query.awaitTermination()
+            else:
+                query.awaitTermination(timeout_sec)
             table.flush_spool()
         return query, table
 
@@ -151,12 +165,15 @@ def run_pipeline(
             run_to_completion,
         )
 
-        run_to_completion(query, table)
+        run_to_completion(query, table, timeout_sec=timeout_sec)
     return query, table
 
 
 def run_fanout_pipeline(
-    spark: SparkSession, config: dict, trigger_once: bool = True
+    spark: SparkSession,
+    config: dict,
+    trigger_once: bool = True,
+    timeout_sec: float | None = None,
 ) -> tuple[StreamingQuery, dict[str, ParquetUpsertTable]]:
     """Multi-table capture: one stream, one checkpoint, per-table MERGE.
 
@@ -215,8 +232,12 @@ def run_fanout_pipeline(
     query = writer.start()
     if trigger_once and min_batch_events > 0:
         # bounded run: publish every table's sub-threshold tail (same
-        # contract as run_pipeline — ADVICE r10)
-        query.awaitTermination()
+        # contract as run_pipeline — ADVICE r10); bounded await so a
+        # wedged availableNow query can't hang the caller (ADVICE r11)
+        if timeout_sec is None:
+            query.awaitTermination()
+        else:
+            query.awaitTermination(timeout_sec)
         for table in sinks.values():
             table.flush_spool()
     return query, sinks

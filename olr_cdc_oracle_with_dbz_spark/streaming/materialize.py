@@ -83,6 +83,16 @@ class ParquetUpsertTable:
         self.extra_cols = extra_cols
         self.n_buckets = n_buckets
         os.makedirs(table_dir, exist_ok=True)
+        # Reopening an existing table ADOPTS the committed bucket count
+        # (ADVICE r11): the manifest records n_buckets precisely so that a
+        # table written with a non-default count and reopened with the
+        # default constructor keeps hashing keys into the buckets the data
+        # actually lives in — otherwise merge_batch would read back the
+        # wrong buckets (duplicating keys) and read_keys would prune to
+        # empty files for existing keys.
+        m = self._manifest()
+        if m is not None:
+            self.n_buckets = m.get("n_buckets", n_buckets)
 
     # -- manifest / pointer ------------------------------------------------
     def current_version(self) -> str | None:
@@ -149,8 +159,14 @@ class ParquetUpsertTable:
         if not values:
             return None
         m = self._manifest(version)
-        if m is None:
+        if m is None or not m["buckets"]:
+            # committed-but-empty table (an empty first batch commits {})
+            # reads the same as no table: no rows to look up (ADVICE r11)
             return None
+        # pmod against the bucket count the MANIFEST records, not the
+        # constructor default — a table written with a non-default count
+        # must prune against the layout it was written with (ADVICE r11)
+        n_buckets = m.get("n_buckets", self.n_buckets)
         # xxhash64 is TYPE-sensitive (an int literal hashes differently
         # from the same value in a long column), so the lookup literals
         # must be cast to the STORED key dtype before hashing — read it
@@ -159,15 +175,15 @@ class ParquetUpsertTable:
         key_type = dict(
             (f.name, f.dataType) for f in self.spark.read.parquet(any_path).schema
         )[self.key]
-        lits = F.array(*[F.lit(v).cast(key_type) for v in values])
+        cast_lits = [F.lit(v).cast(key_type) for v in values]
         buckets = {
             str(r[0])
             for r in self.spark.range(1)
             .select(
                 F.explode(
                     F.transform(
-                        lits,
-                        lambda v: F.pmod(F.xxhash64(v), F.lit(self.n_buckets)),
+                        F.array(*cast_lits),
+                        lambda v: F.pmod(F.xxhash64(v), F.lit(n_buckets)),
                     )
                 )
             )
@@ -184,7 +200,11 @@ class ParquetUpsertTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if "__deleted" in df.columns:
             df = df.filter(~F.col("__deleted")).drop("__deleted")
-        return df.filter(F.col(self.key).isin(values))
+        # filter with the SAME cast literals used for bucket hashing —
+        # raw Python values can compare differently than they hash (e.g.
+        # int lookups against a string key column), so pruning and
+        # filtering must agree on the comparison type (ADVICE r11)
+        return df.filter(F.col(self.key).isin(*cast_lits))
 
     def versions(self) -> list[str]:
         """All retained versions, oldest→newest (batch id order)."""

@@ -830,3 +830,61 @@ def test_read_keys_bucket_pruned_point_lookup(spark, tmp_path):
     # empty key list and missing table are None-safe
     assert table.read_keys([]) is None
     assert ParquetUpsertTable(spark, str(tmp_path / "empty")).read_keys([1]) is None
+
+
+def test_read_keys_reopened_with_default_bucket_count(spark, tmp_path):
+    """ADVICE r11: a table written with a non-default bucket count and
+    reopened with the default constructor must adopt the manifest's
+    n_buckets — both for read_keys pruning (else lookups hash against the
+    wrong layout and miss existing keys) and for merge_batch (else the
+    rewrite reads back the wrong buckets and duplicates keys)."""
+    tdir = str(tmp_path / "tbl")
+    w = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i, False) for i in range(20)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    w.merge_batch(df, batch_id=1)
+
+    r = ParquetUpsertTable(spark, tdir)  # default n_buckets (16) requested
+    assert r.n_buckets == 4  # adopted from the committed manifest
+    got = r.read_keys([3, 17])
+    assert {x["id"] for x in got.collect()} == {3, 17}
+
+    # merge through the reopened handle stays bucket-consistent: an update
+    # to an existing key must replace it, not duplicate it in a new layout
+    upd = spark.createDataFrame(
+        [(3, "updated", 999, False)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    r.merge_batch(upd, batch_id=2)
+    rows = r.read().filter(F.col("id") == 3).collect()
+    assert [(x["id"], x["name"]) for x in rows] == [(3, "updated")]
+    assert r.read().count() == 20
+
+
+def test_read_keys_empty_committed_manifest(spark, tmp_path):
+    """ADVICE r11: an empty first batch commits a {} manifest; read_keys
+    must return None exactly like read(), not raise StopIteration."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    empty = spark.createDataFrame(
+        [], "id bigint, name string, _scn bigint, __deleted boolean"
+    )
+    t.merge_batch(empty, batch_id=1)
+    assert t.current_version() is not None
+    assert t.read() is None
+    assert t.read_keys([1, 2]) is None
+
+
+def test_read_keys_string_key_filter_uses_cast_literals(spark, tmp_path):
+    """ADVICE r11: for a string-typed key, lookups with Python ints must
+    use the SAME cast literals for bucket pruning and the final filter —
+    a type-mismatched isin could otherwise drop rows pruning matched."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.createDataFrame(
+        [(str(i), f"n{i}", 100 + i, False) for i in range(10)],
+        "id string, name string, _scn bigint, __deleted boolean",
+    )
+    t.merge_batch(df, batch_id=1)
+    got = t.read_keys([7, 2])  # python ints against a string key column
+    assert {x["id"] for x in got.collect()} == {"7", "2"}
