@@ -1,0 +1,192 @@
+"""Filesystem seam for table metadata / spool bookkeeping (R8 sink, R15).
+
+``ParquetUpsertTable``'s manifest / pointer / spool operations are
+directory-level metadata I/O: tiny text files, listings, an atomic pointer
+rename, recursive deletes, and parquet-footer row counts. The DATA path
+(reading/writing bucket parquet) already goes through Spark and therefore
+through whatever cluster filesystem Spark is configured for — but until
+this seam the METADATA path was hardwired to driver-local ``os``/``shutil``,
+which is exactly the gap between a 100 TB design argument and 100 TB design
+code: on a real cluster the table root lives on shared storage
+(hdfs:// / s3a:// / abfs://) and the driver must do its bookkeeping through
+the Hadoop FileSystem API, the same client Spark's own committers use
+(reference sink contract: /root/reference/README.md:840-842 — the JDBC sink
+database is durable shared state; this table is its Spark-native stand-in).
+
+Two implementations of one deliberately tiny contract:
+
+- :class:`LocalFS` — ``os``/``shutil``/``pyarrow``. The default: zero JVM
+  round-trips per call, right for local tables, tests, and this build.
+- :class:`HadoopFS` — ``org.apache.hadoop.fs.FileSystem`` obtained from the
+  live SparkSession's JVM via py4j, so every scheme Spark can write
+  (hdfs, s3a, abfs, gs, file, ...) works with no extra Python deps. The
+  atomic pointer swap uses ``FileContext.rename(..., Rename.OVERWRITE)``,
+  which HDFS implements as an atomic namespace operation — the same
+  primitive Delta's HDFSLogStore builds on; footer row counts use
+  parquet-hadoop's ``ParquetFileReader`` (bundled with Spark), reading
+  footers only, never data pages.
+
+Object-store caveat (honest contract, same as Delta's): on S3A a rename is
+copy+delete, not atomic, so the pointer swap needs a coordinating log store
+or a single-writer discipline there. The interface is small precisely so
+that swap stays inside this module.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class LocalFS:
+    """Driver-local filesystem bookkeeping (default; plain ``os`` calls)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Durably publish ``text`` at ``path`` via write-temp + atomic rename
+        — readers see the old content or the new, never a torn write."""
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def list_names(self, path: str) -> list[str]:
+        """Child basenames of ``path`` (empty when the dir doesn't exist)."""
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def delete(self, path: str) -> None:
+        """Recursive, missing-ok delete of a file or directory tree."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def parquet_rows(self, path: str) -> int:
+        """Total row count under ``path`` from parquet FOOTERS only — no
+        Spark jobs, no data pages (the spool's incremental-counter seed)."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for dirpath, _dirs, names in os.walk(path):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        return n
+
+
+class HadoopFS:
+    """Cluster-filesystem bookkeeping via the Hadoop FileSystem API.
+
+    Resolves each path against the session's Hadoop configuration, so a
+    table rooted at ``hdfs://...`` or ``s3a://...`` routes to that store
+    while plain paths keep resolving to the local scheme — behaviour is
+    byte-identical to :class:`LocalFS` on local paths (pytest-verified in
+    ``tests/test_fs_seam.py``, which runs the full merge/spool/replay flow
+    through both implementations and compares state).
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fc = None  # lazy FileContext (only the pointer swap needs it)
+
+    # -- JVM plumbing -------------------------------------------------------
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    # -- contract -----------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        p = self._path(path)
+        return self._fs(p).exists(p)
+
+    def is_dir(self, path: str) -> bool:
+        p = self._path(path)
+        fs = self._fs(p)
+        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+    def mkdirs(self, path: str) -> None:
+        p = self._path(path)
+        self._fs(p).mkdirs(p)
+
+    def read_text(self, path: str) -> str:
+        p = self._path(path)
+        stream = self._fs(p).open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Write-temp + ``FileContext.rename(OVERWRITE)`` — atomic on HDFS
+        (single namespace op), the primitive Delta's HDFSLogStore uses."""
+        tmp = self._path(f"{path}.tmp")
+        dst = self._path(path)
+        out = self._fs(tmp).create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fc is None:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._conf
+            )
+        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        self._fc.rename(tmp, dst, opts)
+
+    def list_names(self, path: str) -> list[str]:
+        p = self._path(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            s.getPath().getName() for s in fs.listStatus(p)
+        )
+
+    def delete(self, path: str) -> None:
+        p = self._path(path)
+        fs = self._fs(p)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def parquet_rows(self, path: str) -> int:
+        """Footer-only row count via parquet-hadoop (no jobs, no data pages)
+        — works against any Hadoop-visible store, not just local disk."""
+        p = self._path(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        reader_cls = self._jvm.org.apache.parquet.hadoop.ParquetFileReader
+        input_file = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                r = reader_cls.open(input_file.fromPath(f.getPath(), self._conf))
+                try:
+                    n += r.getRecordCount()
+                finally:
+                    r.close()
+        return n

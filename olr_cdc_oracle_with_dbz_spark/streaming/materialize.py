@@ -52,6 +52,7 @@ from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
     compact_latest_clustered,
     unwrap,
 )
+from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
 
 _CURRENT = "_CURRENT"
 _PB = "pb"  # bucket partition column
@@ -67,6 +68,7 @@ class ParquetUpsertTable:
         key: str = PK,
         extra_cols: tuple[str, ...] = (),
         n_buckets: int = 16,
+        fs=None,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
@@ -76,13 +78,22 @@ class ParquetUpsertTable:
         ``n_buckets``: key-hash bucket count. Sized so one bucket's bytes
         fit an executor comfortably (at 100 TB: thousands of buckets); the
         local default keeps test tables in a handful of files.
+
+        ``fs``: the metadata-bookkeeping filesystem (``fs.LocalFS`` /
+        ``fs.HadoopFS``). Every manifest / pointer / spool directory op
+        routes through it; the DATA path (bucket parquet) already goes
+        through Spark's own Hadoop FS client. Pass ``HadoopFS(spark)``
+        when ``table_dir`` lives on shared storage (hdfs://, s3a://, ...)
+        — the 100 TB deployment shape for the reference's R8 sink
+        contract (/root/reference/README.md:840-842).
         """
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
         self.n_buckets = n_buckets
-        os.makedirs(table_dir, exist_ok=True)
+        self.fs = fs if fs is not None else LocalFS()
+        self.fs.mkdirs(table_dir)
         # Reopening an existing table ADOPTS the committed bucket count
         # (ADVICE r11): the manifest records n_buckets precisely so that a
         # table written with a non-default count and reopened with the
@@ -97,10 +108,9 @@ class ParquetUpsertTable:
     # -- manifest / pointer ------------------------------------------------
     def current_version(self) -> str | None:
         ptr = os.path.join(self.table_dir, _CURRENT)
-        if not os.path.exists(ptr):
+        if not self.fs.exists(ptr):
             return None
-        with open(ptr) as f:
-            v = f.read().strip()
+        v = self.fs.read_text(ptr).strip()
         return v or None
 
     def _manifest_path(self, version: str) -> str:
@@ -110,17 +120,17 @@ class ParquetUpsertTable:
         v = version or self.current_version()
         if v is None:
             return None
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._manifest_path(v)))
 
     def _commit(self, version: str, buckets: dict[str, str]) -> None:
         """Write the manifest then atomically flip the pointer."""
-        with open(self._manifest_path(version), "w") as f:
-            json.dump({"n_buckets": self.n_buckets, "buckets": buckets}, f)
-        tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(self.table_dir, _CURRENT))  # atomic swap
+        self.fs.write_text_atomic(
+            self._manifest_path(version),
+            json.dumps({"n_buckets": self.n_buckets, "buckets": buckets}),
+        )
+        # atomic swap: readers see the old pointer or the new, never a torn
+        # one (FileContext.rename(OVERWRITE) on HadoopFS, os.replace locally)
+        self.fs.write_text_atomic(os.path.join(self.table_dir, _CURRENT), version)
 
     # -- read side ---------------------------------------------------------
     def read(self, version: str | None = None) -> DataFrame | None:
@@ -211,27 +221,25 @@ class ParquetUpsertTable:
         suffix = ".manifest.json"
         return sorted(
             f[: -len(suffix)]
-            for f in os.listdir(self.table_dir)
+            for f in self.fs.list_names(self.table_dir)
             if f.endswith(suffix)
         )
 
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` manifests (never the live one),
         then garbage-collect data dirs no retained manifest references."""
-        import shutil
-
         live = self.current_version()
         victims = [v for v in self.versions()[:-keep] if v != live]
         for v in victims:
-            os.remove(self._manifest_path(v))
+            self.fs.delete(self._manifest_path(v))
         referenced = set()
         for v in self.versions():
             for rel in self._manifest(v)["buckets"].values():
                 referenced.add(rel.split("/", 1)[0])
-        for d in os.listdir(self.table_dir):
+        for d in self.fs.list_names(self.table_dir):
             p = os.path.join(self.table_dir, d)
-            if os.path.isdir(p) and d.startswith("v") and d not in referenced:
-                shutil.rmtree(p, ignore_errors=True)
+            if d.startswith("v") and d not in referenced and self.fs.is_dir(p):
+                self.fs.delete(p)
         return victims
 
     # -- write side --------------------------------------------------------
@@ -324,7 +332,7 @@ class ParquetUpsertTable:
         )
         buckets = {
             d.split("=", 1)[1]: f"{label}/{d}"
-            for d in os.listdir(out)
+            for d in self.fs.list_names(out)
             if d.startswith(f"{_PB}=")
         }
         self._commit(label, buckets)
@@ -341,28 +349,19 @@ class ParquetUpsertTable:
     # Crash safety: a batch is durable in the spool before its checkpoint
     # offset commits, and the eventual merge is the same idempotent
     # latest-SCN-wins MERGE — a crash between flush and spool-clear only
-    # replays the merge. The spool bookkeeping below (os.walk/os.listdir/
-    # shutil) is DRIVER-LOCAL filesystem I/O — correct for this build's
-    # local tables; on a cluster the staging dir must live on shared
-    # storage and the directory ops route through the Hadoop FS API (the
-    # same seam ``_commit``/``read`` would swap for Delta). The merge-cost
-    # shape is unchanged either way: O(staged batch + touched buckets).
+    # replays the merge. All spool bookkeeping routes through ``self.fs``
+    # (the metadata seam, ``fs.py``): LocalFS for this build's local
+    # tables, HadoopFS when the staging dir lives on shared storage — the
+    # 100 TB deployment shape. The merge-cost shape is unchanged either
+    # way: O(staged batch + touched buckets).
     _SPOOL = "_spool"
 
     def _spool_dir(self) -> str:
         return os.path.join(self.table_dir, self._SPOOL)
 
-    @staticmethod
-    def _footer_rows(path: str) -> int:
+    def _footer_rows(self, path: str) -> int:
         """Row count of one staged batch dir from parquet footers (no jobs)."""
-        import pyarrow.parquet as pq
-
-        n = 0
-        for dirpath, _dirs, names in os.walk(path):
-            for f in names:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
-        return n
+        return self.fs.parquet_rows(path)
 
     def _spool_rows(self) -> dict[str, int]:
         """Per-batch-dir staged row counts: derived ONCE from footers (crash
@@ -374,11 +373,10 @@ class ParquetUpsertTable:
         if cache is None:
             cache = {}
             root = self._spool_dir()
-            if os.path.isdir(root):
-                for d in sorted(os.listdir(root)):
-                    p = os.path.join(root, d)
-                    if os.path.isdir(p):
-                        cache[d] = self._footer_rows(p)
+            for d in self.fs.list_names(root):
+                p = os.path.join(root, d)
+                if self.fs.is_dir(p):
+                    cache[d] = self._footer_rows(p)
             self._spool_rows_cache = cache
         return cache
 
@@ -402,23 +400,23 @@ class ParquetUpsertTable:
         staged micro-batch's id, so an end-of-stream tail flush (see
         :func:`run_to_completion`) versions under the last batch it covers.
         """
-        import shutil
-
         root = self._spool_dir()
         if self.spool_events() == 0:
-            shutil.rmtree(root, ignore_errors=True)
+            self.fs.delete(root)
             self._spool_rows_cache = {}
             return False
-        staged = sorted(
-            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
-        )
+        staged = [
+            d
+            for d in self.fs.list_names(root)
+            if self.fs.is_dir(os.path.join(root, d))
+        ]
         if batch_id is None:
             batch_id = max(int(d.lstrip("b")) for d in staged)
         df = self.spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(root, d) for d in staged)
         )
         self.merge_batch(df, batch_id)
-        shutil.rmtree(root, ignore_errors=True)
+        self.fs.delete(root)
         self._spool_rows_cache = {}
         return True
 
