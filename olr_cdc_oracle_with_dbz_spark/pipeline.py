@@ -20,8 +20,11 @@ Config shape (every key maps to a reference connector setting, cited):
       "filter": {"schema": "OLR_DB", "table": "PRODUCT"},  # OLR filter (R3)
       "schema_registry": "/meta/schemas",     # versioned decode (R16), optional
       "sink": {"table_dir": "/tables/products", "pk": "id",
-               "min_batch_events": 500000},   # upsert (R8/R9); coalesce
+               "min_batch_events": 500000,    # upsert (R8/R9); coalesce
                                               # undersized batches (CDC_STEADY_r09)
+               "fs": "hadoop"},               # metadata seam (fs.py): "local"
+                                              # (default) or "hadoop" for table
+                                              # roots on hdfs:// / s3a:// / ...
       "checkpoint": "/ckpt/products",         # resume (R15)
     }
 """
@@ -38,6 +41,23 @@ from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
     ParquetUpsertTable,
     materialize_stream,
 )
+
+
+def _sink_fs(spark: SparkSession, sink: dict):
+    """Resolve the sink's metadata-filesystem config key to an fs.py impl.
+
+    ``"local"`` / absent → LocalFS (driver-local bookkeeping, this build's
+    default); ``"hadoop"`` → HadoopFS, required when ``table_dir`` lives on
+    shared storage (hdfs:// / s3a:// / ...) — the 100 TB deployment shape.
+    """
+    choice = sink.get("fs", "local")
+    if choice == "local":
+        return None  # ParquetUpsertTable defaults to LocalFS
+    if choice == "hadoop":
+        from olr_cdc_oracle_with_dbz_spark.fs import HadoopFS
+
+        return HadoopFS(spark)
+    raise ValueError(f"unsupported sink fs {choice!r} (use 'local' or 'hadoop')")
 
 
 def run_pipeline(
@@ -79,7 +99,9 @@ def run_pipeline(
         envelope_ddl = reg.current()
 
     sink = config["sink"]
-    table = ParquetUpsertTable(spark, sink["table_dir"], key=sink.get("pk", PK))
+    table = ParquetUpsertTable(
+        spark, sink["table_dir"], key=sink.get("pk", PK), fs=_sink_fs(spark, sink)
+    )
 
     if "quarantine" in config:
         # permissive-ingest form: parse inside foreachBatch so undecodable
@@ -202,7 +224,10 @@ def run_fanout_pipeline(
     raw = spark.readStream.format("text").load(src["path"])
     env = parse_envelope(raw, "value").filter(F.col("_schema") == schema_name)
 
-    sinks = {t: ParquetUpsertTable(spark, f"{root}/{t}", key=key) for t in tables}
+    fs = _sink_fs(spark, config["sink"])
+    sinks = {
+        t: ParquetUpsertTable(spark, f"{root}/{t}", key=key, fs=fs) for t in tables
+    }
     # Per-table spool threshold (same sink knob as run_pipeline). Fanout is
     # where it matters most: routing splits every micro-batch N ways, so
     # per-table batches are 1/N the size and hit the per-commit floor N

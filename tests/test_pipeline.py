@@ -242,3 +242,47 @@ def test_quarantine_pipeline_min_batch_events_tail_flush(spark, tmp_path):
     ]
     assert rows == [(r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL]
     assert spark.read.parquet(str(tmp_path / "dead")).count() == len(bad_lines)
+
+
+def test_config_pipeline_hadoop_fs_sink(spark, tmp_path):
+    """sink.fs="hadoop" routes the table's metadata bookkeeping through the
+    Hadoop FileSystem seam; the pipeline result must be identical to the
+    default LocalFS run (declarative parity with the reference: the
+    deployment filesystem is a connector config key, not code)."""
+    import pytest
+
+    from olr_cdc_oracle_with_dbz_spark.fs import HadoopFS
+
+    src = str(tmp_path / "in")
+    _write(src, json_lines(), "all.jsonl")
+
+    def cfg(name: str, fs: str | None):
+        sink = {"table_dir": str(tmp_path / name), "pk": "id"}
+        if fs:
+            sink["fs"] = fs
+        return {
+            "source": {"format": "debezium-json", "path": src},
+            "filter": {"schema": "OLR_DB", "table": "PRODUCT"},
+            "sink": sink,
+            "checkpoint": str(tmp_path / f"ckpt_{name}"),
+        }
+
+    q1, local_t = run_pipeline(spark, cfg("tbl_local", None))
+    q1.awaitTermination(120)
+    q2, hadoop_t = run_pipeline(spark, cfg("tbl_hadoop", "hadoop"))
+    q2.awaitTermination(120)
+    assert isinstance(hadoop_t.fs, HadoopFS)
+
+    def state(t):
+        return sorted(
+            (r["id"], r["name"], float(r["price"]), r["stock"])
+            for r in t.read().select("id", "name", "price", "stock").collect()
+        )
+
+    assert state(hadoop_t) == state(local_t)
+    assert state(local_t) == sorted(
+        (r[0], r[1], float(r[3]), r[4]) for r in EXPECTED_FINAL
+    )
+
+    with pytest.raises(ValueError, match="unsupported sink fs"):
+        run_pipeline(spark, cfg("tbl_bad", "nfs"))
