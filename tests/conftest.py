@@ -20,6 +20,27 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _sink_fs_override(request):
+    """OLR_TEST_FS=hadoop reroutes every ParquetUpsertTable constructed with
+    the DEFAULT fs through HadoopFS — so the literal, unmodified sink suite
+    (crash-replay, spool property test, pipelines) runs through the cluster
+    filesystem seam. Default (unset): LocalFS, byte-identical to before."""
+    if os.environ.get("OLR_TEST_FS") != "hadoop":
+        yield
+        return
+    from olr_cdc_oracle_with_dbz_spark import fs as fs_mod
+    from olr_cdc_oracle_with_dbz_spark.streaming import materialize as mat
+
+    spark = request.getfixturevalue("spark")
+    orig = mat.LocalFS
+    mat.LocalFS = lambda: fs_mod.HadoopFS(spark)
+    try:
+        yield
+    finally:
+        mat.LocalFS = orig
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_ORACLE

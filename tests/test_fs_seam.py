@@ -10,6 +10,17 @@ filesystem-agnostic:
    flow run end-to-end THROUGH HadoopFS (Hadoop FileSystem API via the live
    JVM — the same client an hdfs:// or s3a:// table root would route to)
    converges to the exact state the LocalFS flow produces.
+
+Additionally, ``OLR_TEST_FS=hadoop`` (conftest.py) reroutes every
+default-constructed ``ParquetUpsertTable`` through HadoopFS, so the
+LITERAL unmodified sink suite — S1 checkpoint kill/restart, the
+crash-before-spool-clear replay test, the hypothesis spool-convergence
+property test, the declarative pipelines, the CDC goldens — runs through
+the seam. Verified green (60 tests) on 2026-08-15:
+
+    OLR_TEST_FS=hadoop python -m pytest tests/test_streaming.py \\
+        tests/test_property.py tests/test_pipeline.py tests/test_cdc.py \\
+        tests/test_fs_seam.py -q
 """
 
 from __future__ import annotations
