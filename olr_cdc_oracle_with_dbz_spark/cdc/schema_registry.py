@@ -12,8 +12,10 @@ new fields, exactly Debezium/JDBC-sink ``auto.evolve``).
 
 Storage is a directory of ``v<N>.ddl`` files + a ``_CURRENT`` pointer —
 the same atomic-swap discipline as the materialized table; on a cluster
-this would live beside the table in the lakehouse metadata (Delta schema
-log), which versions schemas the same way.
+this lives beside the table on shared storage, so all file bookkeeping
+routes through the same filesystem seam (``fs.py``) as the sink:
+``SchemaRegistry(root, subject, fs=HadoopFS(spark))`` versions schemas
+on hdfs:// / s3a:// exactly as locally.
 """
 
 from __future__ import annotations
@@ -27,9 +29,12 @@ _CURRENT = "_CURRENT"
 class SchemaRegistry:
     """Versioned DDL schema store for one subject (table/topic)."""
 
-    def __init__(self, root: str, subject: str):
+    def __init__(self, root: str, subject: str, fs=None):
+        from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+
         self.dir = os.path.join(root, subject)
-        os.makedirs(self.dir, exist_ok=True)
+        self.fs = fs if fs is not None else LocalFS()
+        self.fs.mkdirs(self.dir)
 
     def register(self, ddl: str) -> int:
         """Register a new schema version; returns its version number.
@@ -41,24 +46,21 @@ class SchemaRegistry:
         if cur is not None and self.get(cur) == ddl.strip():
             return cur
         version = (cur or 0) + 1
-        with open(os.path.join(self.dir, f"v{version}.ddl"), "w") as f:
-            f.write(ddl.strip())
-        tmp = os.path.join(self.dir, _CURRENT + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self.dir, _CURRENT))
+        self.fs.write_text_atomic(
+            os.path.join(self.dir, f"v{version}.ddl"), ddl.strip()
+        )
+        # atomic pointer swap — same discipline as the table manifest
+        self.fs.write_text_atomic(os.path.join(self.dir, _CURRENT), str(version))
         return version
 
     def current_version(self) -> int | None:
         ptr = os.path.join(self.dir, _CURRENT)
-        if not os.path.exists(ptr):
+        if not self.fs.exists(ptr):
             return None
-        with open(ptr) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(ptr).strip())
 
     def get(self, version: int) -> str:
-        with open(os.path.join(self.dir, f"v{version}.ddl")) as f:
-            return f.read()
+        return self.fs.read_text(os.path.join(self.dir, f"v{version}.ddl"))
 
     def current(self) -> str:
         v = self.current_version()
@@ -68,7 +70,7 @@ class SchemaRegistry:
 
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.dir):
+        for name in self.fs.list_names(self.dir):
             m = re.fullmatch(r"v(\d+)\.ddl", name)
             if m:
                 out.append(int(m.group(1)))

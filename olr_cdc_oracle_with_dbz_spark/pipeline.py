@@ -93,7 +93,12 @@ def run_pipeline(
     if "schema_registry" in config:
         from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
 
-        reg = SchemaRegistry(config["schema_registry"], f"{schema_name}.{table_name}")
+        # the registry lives beside the table — same filesystem seam
+        reg = SchemaRegistry(
+            config["schema_registry"],
+            f"{schema_name}.{table_name}",
+            fs=_sink_fs(spark, config["sink"]),
+        )
         if reg.current_version() is None:
             reg.register(ENVELOPE_SCHEMA)
         envelope_ddl = reg.current()

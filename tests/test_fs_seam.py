@@ -143,3 +143,25 @@ def test_cross_fs_interop(spark, tmp_path):
     r.merge_batch(_frame(spark, [(2, "upd2", 200, False)]), 2)
     state = {x["id"]: x["name"] for x in r.read().collect()}
     assert state[2] == "upd2" and len(state) == 8
+
+
+def test_schema_registry_through_hadoop_fs(spark, tmp_path):
+    """R16's versioned schema store uses the same seam: register/evolve/
+    read through HadoopFS behaves identically to LocalFS, including the
+    idempotent re-register and cross-impl readback."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import SchemaRegistry
+
+    root = str(tmp_path / "schemas")
+    reg = SchemaRegistry(root, "OLR_DB.PRODUCT", fs=HadoopFS(spark))
+    v1 = reg.register("id bigint, name string")
+    assert v1 == 1
+    assert reg.register("id bigint, name string") == 1  # idempotent
+    v2 = reg.register("id bigint, name string, category string")
+    assert v2 == 2 and reg.current_version() == 2
+    assert reg.versions() == [1, 2]
+    assert reg.is_additive(1, 2)
+
+    # a default-LocalFS handle reads the same store (layout is the contract)
+    local = SchemaRegistry(root, "OLR_DB.PRODUCT")
+    assert local.current_version() == 2
+    assert local.current() == "id bigint, name string, category string"
