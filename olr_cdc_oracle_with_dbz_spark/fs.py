@@ -56,24 +56,36 @@ class LocalFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         """Durably publish ``text`` at ``path`` via write-temp + atomic rename
-        — readers see the old content or the new, never a torn write."""
+        — readers see the old content or the new, never a torn write.
+        Missing parent directories are created (both impls)."""
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         tmp = f"{path}.tmp"
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
 
     def list_names(self, path: str) -> list[str]:
-        """Child basenames of ``path`` (empty when the dir doesn't exist)."""
+        """Child basenames of ``path`` ([] when missing or not a dir)."""
         if not os.path.isdir(path):
             return []
         return sorted(os.listdir(path))
 
     def delete(self, path: str) -> None:
-        """Recursive, missing-ok delete of a file or directory tree."""
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
-        elif os.path.exists(path):
-            os.remove(path)
+        """Best-effort recursive delete of a file or dir tree, missing-ok.
+
+        Cleanup-only contract (spool clear, vacuum victims) — never
+        load-bearing for commit correctness, so failures are swallowed on
+        both impls; a leftover path is re-collected by the next cleanup.
+        """
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            elif os.path.exists(path):
+                os.remove(path)
+        except OSError:
+            pass
 
     def parquet_rows(self, path: str) -> int:
         """Total row count under ``path`` from parquet FOOTERS only — no
@@ -156,19 +168,25 @@ class HadoopFS:
         self._fc.rename(tmp, dst, opts)
 
     def list_names(self, path: str) -> list[str]:
+        """[] when missing OR not a dir — Hadoop's listStatus on a FILE
+        returns the file itself; LocalFS returns [], so match that."""
         p = self._path(path)
         fs = self._fs(p)
-        if not fs.exists(p):
+        if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
             return []
         return sorted(
             s.getPath().getName() for s in fs.listStatus(p)
         )
 
     def delete(self, path: str) -> None:
-        p = self._path(path)
-        fs = self._fs(p)
-        if fs.exists(p):
-            fs.delete(p, True)
+        """Best-effort, missing-ok (same cleanup-only contract as LocalFS)."""
+        try:
+            p = self._path(path)
+            fs = self._fs(p)
+            if fs.exists(p):
+                fs.delete(p, True)
+        except Exception:
+            pass
 
     def parquet_rows(self, path: str) -> int:
         """Footer-only row count via parquet-hadoop (no jobs, no data pages)

@@ -87,6 +87,9 @@ def run_pipeline(
     schema_name = flt.get("schema", "OLR_DB")
     table_name = flt.get("table", "PRODUCT")
 
+    sink = config["sink"]
+    fs = _sink_fs(spark, sink)  # one instance shared by registry + table
+
     # R16: decode pinned to the registered schema version if a registry is
     # configured (first run registers the built-in envelope schema as v1).
     envelope_ddl = ENVELOPE_SCHEMA
@@ -95,17 +98,14 @@ def run_pipeline(
 
         # the registry lives beside the table — same filesystem seam
         reg = SchemaRegistry(
-            config["schema_registry"],
-            f"{schema_name}.{table_name}",
-            fs=_sink_fs(spark, config["sink"]),
+            config["schema_registry"], f"{schema_name}.{table_name}", fs=fs
         )
         if reg.current_version() is None:
             reg.register(ENVELOPE_SCHEMA)
         envelope_ddl = reg.current()
 
-    sink = config["sink"]
     table = ParquetUpsertTable(
-        spark, sink["table_dir"], key=sink.get("pk", PK), fs=_sink_fs(spark, sink)
+        spark, sink["table_dir"], key=sink.get("pk", PK), fs=fs
     )
 
     if "quarantine" in config:
@@ -148,12 +148,14 @@ def run_pipeline(
         query = writer.start()
         if trigger_once and q_min_batch > 0:
             # bounded run: publish the sub-threshold tail (ADVICE r10);
-            # bounded await so a wedged query can't hang us (ADVICE r11)
-            if timeout_sec is None:
-                query.awaitTermination()
-            else:
-                query.awaitTermination(timeout_sec)
-            table.flush_spool()
+            # bounded await so a wedged query can't hang us (ADVICE r11),
+            # stop-before-flush on expiry so an active stream can never
+            # race the spool cleanup (run_to_completion owns the logic)
+            from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+                run_to_completion,
+            )
+
+            run_to_completion(query, table, timeout_sec=timeout_sec)
         return query, table
 
     if "kafka" in src:
@@ -262,12 +264,11 @@ def run_fanout_pipeline(
     query = writer.start()
     if trigger_once and min_batch_events > 0:
         # bounded run: publish every table's sub-threshold tail (same
-        # contract as run_pipeline — ADVICE r10); bounded await so a
-        # wedged availableNow query can't hang the caller (ADVICE r11)
-        if timeout_sec is None:
-            query.awaitTermination()
-        else:
-            query.awaitTermination(timeout_sec)
-        for table in sinks.values():
-            table.flush_spool()
+        # contract as run_pipeline — ADVICE r10); bounded await with
+        # stop-before-flush on expiry (ADVICE r11 + flush-race fix)
+        from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+            run_all_to_completion,
+        )
+
+        run_all_to_completion(query, sinks.values(), timeout_sec=timeout_sec)
     return query, sinks

@@ -61,13 +61,16 @@ _PB = "pb"  # bucket partition column
 class ParquetUpsertTable:
     """A queryable keyed table maintained by bucket-granular micro-batch MERGE."""
 
+    #: bucket count for NEW tables when the constructor doesn't pick one
+    DEFAULT_BUCKETS = 16
+
     def __init__(
         self,
         spark: SparkSession,
         table_dir: str,
         key: str = PK,
         extra_cols: tuple[str, ...] = (),
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
         fs=None,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
@@ -75,9 +78,15 @@ class ParquetUpsertTable:
         NULL for them, and unionByName(allowMissingColumns) inside the
         merge evolves the existing table additively.
 
-        ``n_buckets``: key-hash bucket count. Sized so one bucket's bytes
-        fit an executor comfortably (at 100 TB: thousands of buckets); the
-        local default keeps test tables in a handful of files.
+        ``n_buckets``: key-hash bucket count for a NEW table. Sized so one
+        bucket's bytes fit an executor comfortably (at 100 TB: thousands
+        of buckets); the local default keeps test tables in a handful of
+        files. Reopening an EXISTING table adopts the committed count from
+        the manifest (ADVICE r11 — hashing against any other layout would
+        read back the wrong buckets and duplicate keys); passing an
+        explicit ``n_buckets`` that CONFLICTS with the committed layout
+        raises instead of being silently ignored — re-bucket a grown
+        table with ``compact(n_buckets=...)``.
 
         ``fs``: the metadata-bookkeeping filesystem (``fs.LocalFS`` /
         ``fs.HadoopFS``). Every manifest / pointer / spool directory op
@@ -91,19 +100,23 @@ class ParquetUpsertTable:
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
-        self.n_buckets = n_buckets
         self.fs = fs if fs is not None else LocalFS()
         self.fs.mkdirs(table_dir)
-        # Reopening an existing table ADOPTS the committed bucket count
-        # (ADVICE r11): the manifest records n_buckets precisely so that a
-        # table written with a non-default count and reopened with the
-        # default constructor keeps hashing keys into the buckets the data
-        # actually lives in — otherwise merge_batch would read back the
-        # wrong buckets (duplicating keys) and read_keys would prune to
-        # empty files for existing keys.
         m = self._manifest()
         if m is not None:
-            self.n_buckets = m.get("n_buckets", n_buckets)
+            committed = m.get("n_buckets", self.DEFAULT_BUCKETS)
+            if n_buckets is not None and n_buckets != committed:
+                raise ValueError(
+                    f"{table_dir} is committed with n_buckets={committed}, "
+                    f"got n_buckets={n_buckets}; reopen without n_buckets "
+                    f"(adopts the layout) or re-bucket via "
+                    f"compact(n_buckets={n_buckets})"
+                )
+            self.n_buckets = committed
+        else:
+            self.n_buckets = (
+                self.DEFAULT_BUCKETS if n_buckets is None else n_buckets
+            )
 
     # -- manifest / pointer ------------------------------------------------
     def current_version(self) -> str | None:
@@ -186,20 +199,28 @@ class ParquetUpsertTable:
             (f.name, f.dataType) for f in self.spark.read.parquet(any_path).schema
         )[self.key]
         cast_lits = [F.lit(v).cast(key_type) for v in values]
-        buckets = {
-            str(r[0])
-            for r in self.spark.range(1)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.array(*cast_lits),
-                        lambda v: F.pmod(F.xxhash64(v), F.lit(n_buckets)),
-                    )
-                )
+        # one tiny local job per lookup: each value's bucket id AND whether
+        # the cast round-trips (`lit(v) == cast(v)` under Spark's comparison
+        # coercion). A LOSSY cast — e.g. 3.9 against a bigint key — must
+        # mean "no such key", not a silent match of key 3; NULL-producing
+        # casts and None lookups drop the same way.
+        probe = [
+            F.struct(
+                F.pmod(F.xxhash64(c), F.lit(n_buckets)).alias("b"),
+                F.coalesce(F.lit(v) == c, F.lit(False)).alias("ok"),
             )
-            .distinct()
+            for v, c in zip(values, cast_lits)
+        ]
+        rows = (
+            self.spark.range(1)  # 1 row, 1 partition: explode keeps order
+            .select(F.explode(F.array(*probe)).alias("p"))
+            .select("p.b", "p.ok")
             .collect()
-        }  # ≤ len(values) scalars — bounded, not data-sized
+        )  # ≤ len(values) scalars — bounded, not data-sized
+        cast_lits = [c for c, r in zip(cast_lits, rows) if r["ok"]]
+        if not cast_lits:
+            return None  # no lookup value is representable in the key type
+        buckets = {str(r["b"]) for r in rows if r["ok"]}
         paths = [
             os.path.join(self.table_dir, rel)
             for b, rel in m["buckets"].items()
@@ -303,7 +324,9 @@ class ParquetUpsertTable:
             buckets[str(b)] = f"{label}/{_PB}={b}"
         self._commit(label, buckets)
 
-    def compact(self, target_partitions: int = 8) -> None:
+    def compact(
+        self, target_partitions: int = 8, n_buckets: int | None = None
+    ) -> None:
         """Major compaction: rewrite every bucket key-sorted, drop tombstones.
 
         Micro-batch MERGEs leave buckets fragmented across version dirs and
@@ -314,11 +337,18 @@ class ParquetUpsertTable:
         here — the end of their retention window. Same atomic pointer swap
         as a merge — readers never see a half-written version; a concurrent
         merge that lands after the rewrite simply supersedes it.
+
+        ``n_buckets`` RE-BUCKETS the table (the grown-table path: a table
+        that outlived its initial bucket count gets a wider layout here,
+        since every row is being rewritten anyway). The new count is
+        committed in the manifest, so later reopens adopt it.
         """
         live = self.current_version()
         current = self.read()  # tombstones already filtered
         if current is None:
             return
+        if n_buckets is not None:
+            self.n_buckets = n_buckets  # _bucket_col + _commit pick it up
         label = f"{live}c"  # e.g. v...042 -> v...042c
         out = os.path.join(self.table_dir, label)
         (
@@ -482,9 +512,37 @@ def run_to_completion(
     checkpoint offsets while the rows sit durably-but-unpublished in the
     spool. Returns True if a tail merge ran. Safe when no spool is in
     play (flush of an empty spool is a no-op).
+
+    When ``timeout_sec`` expires with the query still running (wedged or
+    merely slow), the query is STOPPED before the spool is touched —
+    flushing concurrently with an active stream could delete a batch the
+    stream stages after the flush's listing, losing its checkpointed
+    events permanently. Stop-then-flush keeps the invariant: a batch is
+    either merged by this flush or its offsets never committed (so a
+    restart replays it into the spool).
     """
     if timeout_sec is None:
         query.awaitTermination()
-    else:
-        query.awaitTermination(timeout_sec)
+    elif not query.awaitTermination(timeout_sec):
+        query.stop()
+        query.awaitTermination()  # stop() is async; wait until no batch runs
     return table.flush_spool()
+
+
+def run_all_to_completion(
+    query: StreamingQuery,
+    tables,
+    timeout_sec: float | None = None,
+) -> bool:
+    """Multi-sink form of :func:`run_to_completion` (fanout pipelines):
+    one await (same stop-before-flush discipline), then every table's
+    spool tail is published. Returns True if any tail merge ran."""
+    if timeout_sec is None:
+        query.awaitTermination()
+    elif not query.awaitTermination(timeout_sec):
+        query.stop()
+        query.awaitTermination()
+    flushed = False
+    for table in tables:
+        flushed = table.flush_spool() or flushed
+    return flushed

@@ -71,6 +71,15 @@ def test_fs_contract_parity(spark, tmp_path):
         assert not fs.exists(ptr)
         fs.delete(os.path.join(root, "missing"))  # no raise
 
+        # edge-case parity (code-review r12): listing a FILE is [], atomic
+        # write auto-creates missing parents on both impls
+        f2 = os.path.join(root, "plain.txt")
+        fs.write_text_atomic(f2, "x")
+        assert fs.list_names(f2) == []
+        deep = os.path.join(root, "newdir", "sub", "ptr")
+        fs.write_text_atomic(deep, "y")
+        assert fs.read_text(deep) == "y"
+
 
 def _frame(spark, rows):
     return spark.createDataFrame(

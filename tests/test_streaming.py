@@ -876,6 +876,61 @@ def test_read_keys_empty_committed_manifest(spark, tmp_path):
     assert t.read_keys([1, 2]) is None
 
 
+def test_read_keys_lossy_cast_means_no_such_key(spark, tmp_path):
+    """Code-review r12: a lookup value the key type can't represent (3.9
+    against a bigint key) must return no rows — NOT silently coerce to
+    key 3 and return a row the caller never asked for."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i, False) for i in range(6)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    t.merge_batch(df, batch_id=1)
+    miss = t.read_keys([3.9])
+    assert miss is None or miss.count() == 0
+    # exact-value floats still match; the lossy one contributes nothing
+    mixed = t.read_keys([3.9, 4.0])
+    assert {r["id"] for r in mixed.collect()} == {4}
+    # None lookups drop instead of hashing NULL
+    assert t.read_keys([None]) is None
+
+
+def test_bucket_count_conflict_raises_and_compact_rebuckets(spark, tmp_path):
+    """Code-review r12: an explicit n_buckets conflicting with the committed
+    layout raises (silent adoption pinned tables to their initial count);
+    compact(n_buckets=...) is the sanctioned re-bucket path."""
+    import pytest
+
+    tdir = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i, False) for i in range(20)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    t.merge_batch(df, batch_id=1)
+
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        ParquetUpsertTable(spark, tdir, key="id", n_buckets=8)
+
+    # re-bucket 4 -> 8 through major compaction; reopen adopts 8 and the
+    # table stays fully readable/lookupable in the new layout
+    t.compact(target_partitions=4, n_buckets=8)
+    r = ParquetUpsertTable(spark, tdir, key="id")
+    assert r.n_buckets == 8
+    assert r.read().count() == 20
+    assert {x["id"] for x in r.read_keys([3, 17]).collect()} == {3, 17}
+    # and merging through the re-bucketed layout replaces, not duplicates
+    upd = spark.createDataFrame(
+        [(3, "upd3", 999, False)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    r.merge_batch(upd, batch_id=2)
+    assert [x["name"] for x in r.read().filter(F.col("id") == 3).collect()] == [
+        "upd3"
+    ]
+    assert r.read().count() == 20
+
+
 def test_read_keys_string_key_filter_uses_cast_literals(spark, tmp_path):
     """ADVICE r11: for a string-typed key, lookups with Python ints must
     use the SAME cast literals for bucket pruning and the final filter —
