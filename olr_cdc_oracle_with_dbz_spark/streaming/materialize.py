@@ -56,6 +56,7 @@ from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
 
 _CURRENT = "_CURRENT"
 _PB = "pb"  # bucket partition column
+_UNSET = object()  # "no concurrency fence" sentinel for _commit
 
 
 class ParquetUpsertTable:
@@ -135,8 +136,35 @@ class ParquetUpsertTable:
             return None
         return json.loads(self.fs.read_text(self._manifest_path(v)))
 
-    def _commit(self, version: str, buckets: dict[str, str]) -> None:
-        """Write the manifest then atomically flip the pointer."""
+    def _commit(
+        self,
+        version: str,
+        buckets: dict[str, str],
+        expect_parent: str | None | object = _UNSET,
+    ) -> None:
+        """Write the manifest then atomically flip the pointer.
+
+        ``expect_parent`` is the optimistic-concurrency fence: the version
+        this write's state was DERIVED from. If another writer advanced
+        the pointer in between, committing would silently drop that
+        writer's rows (the classic lost update — e.g. a compaction whose
+        rewrite raced a micro-batch merge), so the commit refuses instead.
+        The check-then-swap window is not itself atomic — the fence turns
+        a silent loss into a detectable near-miss, the same posture as
+        Delta's optimistic protocol without a lock server; true multi-
+        writer needs the coordinating log store the module docstring
+        names. Replays are unaffected: a replayed batch re-derives from
+        the CURRENT pointer (possibly its own earlier commit) and passes.
+        """
+        if expect_parent is not _UNSET:
+            live = self.current_version()
+            if live != expect_parent:
+                raise RuntimeError(
+                    f"concurrent writer detected on {self.table_dir}: "
+                    f"state derived from {expect_parent!r} but the live "
+                    f"version is {live!r}; committing {version} would drop "
+                    f"that writer's rows — re-derive and retry"
+                )
         self.fs.write_text_atomic(
             self._manifest_path(version),
             json.dumps({"n_buckets": self.n_buckets, "buckets": buckets}),
@@ -278,7 +306,8 @@ class ParquetUpsertTable:
         touched = sorted(
             r[0] for r in batch.select(_PB).distinct().collect()
         )  # ≤ n_buckets scalars on the driver — bounded, not data-sized
-        manifest = self._manifest()
+        parent = self.current_version()  # concurrency fence for _commit
+        manifest = self._manifest(parent) if parent else None
         buckets = dict(manifest["buckets"]) if manifest else {}
         src = batch
         # One read per VERSION dir (partition discovery restores pb from
@@ -322,7 +351,7 @@ class ParquetUpsertTable:
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
             buckets[str(b)] = f"{label}/{_PB}={b}"
-        self._commit(label, buckets)
+        self._commit(label, buckets, expect_parent=parent)
 
     def compact(
         self, target_partitions: int = 8, n_buckets: int | None = None
@@ -335,8 +364,12 @@ class ParquetUpsertTable:
         bucket hash + per-file min/max stats and scans stay wide-split
         (SCALE.md §5). Tombstones older than the compaction are dropped
         here — the end of their retention window. Same atomic pointer swap
-        as a merge — readers never see a half-written version; a concurrent
-        merge that lands after the rewrite simply supersedes it.
+        as a merge — readers never see a half-written version. A merge
+        that lands DURING the rewrite is detected at commit time (the
+        ``expect_parent`` fence): committing a compaction derived from the
+        pre-merge state would silently drop that merge's rows, so the
+        compaction raises instead — re-run it; compaction is always safe
+        to retry because it changes layout, never logical content.
 
         ``n_buckets`` RE-BUCKETS the table (the grown-table path: a table
         that outlived its initial bucket count gets a wider layout here,
@@ -365,7 +398,7 @@ class ParquetUpsertTable:
             for d in self.fs.list_names(out)
             if d.startswith(f"{_PB}=")
         }
-        self._commit(label, buckets)
+        self._commit(label, buckets, expect_parent=live)
 
     # -- micro-batch coalescing (spool) -------------------------------------
     # CDC_STEADY_r09 decomposition: each MERGE commit pays a ~1 s fixed

@@ -931,6 +931,32 @@ def test_bucket_count_conflict_raises_and_compact_rebuckets(spark, tmp_path):
     assert r.read().count() == 20
 
 
+def test_commit_fence_detects_lost_update(spark, tmp_path):
+    """The optimistic-concurrency fence: a commit derived from a stale
+    parent version (a compaction that raced a merge) must raise instead
+    of silently dropping the interleaved writer's rows. Replays — which
+    re-derive from the CURRENT pointer — stay unaffected."""
+    import pytest
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id bigint, name string, _scn bigint, __deleted boolean"
+    )
+    t.merge_batch(mk([(1, "a", 100, False)]), 1)
+    stale = t.current_version()
+    t.merge_batch(mk([(2, "b", 101, False)]), 2)  # interleaved writer
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t._commit("v99", {}, expect_parent=stale)
+
+    # normal single-writer paths keep working after the refusal
+    t.compact(target_partitions=2)
+    assert t.read().count() == 2
+    # and a REPLAYED merge (same batch id, re-derived from current) passes
+    t.merge_batch(mk([(2, "b", 101, False)]), 2)
+    assert t.read().count() == 2
+
+
 def test_read_keys_string_key_filter_uses_cast_literals(spark, tmp_path):
     """ADVICE r11: for a string-typed key, lookups with Python ints must
     use the SAME cast literals for bucket pruning and the final filter —
