@@ -83,26 +83,34 @@ class JdbcIncrementalSource:
         watermark_col: str,
         state_path: str,
         load_fn: Callable[[str], DataFrame],
+        fs=None,
     ):
         """``load_fn(predicate_sql)`` must return the source rows matching
         the predicate — ``spark.read.jdbc`` with the predicate appended in
-        production; any DataFrame source in tests."""
+        production; any DataFrame source in tests.
+
+        ``fs``: the metadata filesystem for the persisted watermark (the
+        same ``fs.py`` seam as the upsert sink) — pass ``HadoopFS(spark)``
+        when ``state_path`` lives on shared storage so a restarted driver
+        on another node resumes from the committed watermark."""
+        from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+
         self.spark = spark
         self.watermark_col = watermark_col
         self.state_path = state_path
         self.load_fn = load_fn
+        self.fs = fs if fs is not None else LocalFS()
 
     def _read_state(self) -> int | float | str | None:
-        if not os.path.exists(self.state_path):
+        if not self.fs.exists(self.state_path):
             return None
-        with open(self.state_path) as f:
-            return json.load(f)["watermark"]
+        return json.loads(self.fs.read_text(self.state_path))["watermark"]
 
     def _write_state(self, wm: int | float | str) -> None:
-        tmp = self.state_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"watermark": wm, "col": self.watermark_col}, f)
-        os.replace(tmp, self.state_path)  # atomic, like the checkpoint swap
+        # atomic, like the checkpoint swap
+        self.fs.write_text_atomic(
+            self.state_path, json.dumps({"watermark": wm, "col": self.watermark_col})
+        )
 
     @staticmethod
     def _render_literal(wm: int | float | str) -> str:

@@ -174,3 +174,24 @@ def test_schema_registry_through_hadoop_fs(spark, tmp_path):
     local = SchemaRegistry(root, "OLR_DB.PRODUCT")
     assert local.current_version() == 2
     assert local.current() == "id bigint, name string, category string"
+
+
+def test_jdbc_watermark_through_hadoop_fs(spark, tmp_path):
+    """R14's persisted polling watermark uses the same seam — a restarted
+    driver on another node must resume from the committed watermark."""
+    from olr_cdc_oracle_with_dbz_spark.sources.jdbc import JdbcIncrementalSource
+
+    rows = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "id bigint, ts bigint"
+    )
+
+    def load(pred: str):
+        return rows.filter(pred) if pred else rows
+
+    state = str(tmp_path / "wm.json")
+    src = JdbcIncrementalSource(spark, "ts", state, load, fs=HadoopFS(spark))
+    first = src.poll()
+    assert first.count() == 5
+    # restart with a LocalFS handle: same committed watermark, no re-reads
+    src2 = JdbcIncrementalSource(spark, "ts", state, load)
+    assert src2.poll().count() == 0
