@@ -16,11 +16,12 @@ default-constructed ``ParquetUpsertTable`` through HadoopFS, so the
 LITERAL unmodified sink suite — S1 checkpoint kill/restart, the
 crash-before-spool-clear replay test, the hypothesis spool-convergence
 property test, the declarative pipelines, the CDC goldens — runs through
-the seam. Verified green (60 tests) on 2026-08-15:
+the seam. Verified green (74 tests, incl. the commit fence, re-bucket,
+and watermark additions) at round-12 HEAD on 2026-08-15:
 
     OLR_TEST_FS=hadoop python -m pytest tests/test_streaming.py \\
         tests/test_property.py tests/test_pipeline.py tests/test_cdc.py \\
-        tests/test_fs_seam.py -q
+        tests/test_fs_seam.py tests/test_sources.py -q
 """
 
 from __future__ import annotations
