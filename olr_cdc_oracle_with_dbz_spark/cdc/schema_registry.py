@@ -10,20 +10,24 @@ pointer — streaming ingest decodes with the pinned version; additive
 evolution registers version N+1 and re-parses (old events yield NULL for
 new fields, exactly Debezium/JDBC-sink ``auto.evolve``).
 
-Storage is a directory of ``v<N>.ddl`` files + a ``_CURRENT`` pointer —
-the same atomic-swap discipline as the materialized table; on a cluster
-this lives beside the table on shared storage, so all file bookkeeping
-routes through the same filesystem seam (``fs.py``) as the sink:
-``SchemaRegistry(root, subject, fs=HadoopFS(spark))`` versions schemas
-on hdfs:// / s3a:// exactly as locally.
+Storage is a directory of IMMUTABLE ``v<N>.ddl`` files, each published
+with ``fs.create_exclusive`` (put-if-absent); "current" is the highest
+registered N — the same append-only commit-log discipline as the
+materialized table (r13: no pointer file, no rename, so registration is
+correct on object stores without atomic rename, and two concurrent
+registrants of version N race on one atomic create instead of
+last-writer-wins). On a cluster this lives beside the table on shared
+storage, so all file bookkeeping routes through the same filesystem seam
+(``fs.py``) as the sink: ``SchemaRegistry(root, subject,
+fs=HadoopFS(spark))`` versions schemas on hdfs:// / s3a:// exactly as
+locally. (Pre-r13 registries left a ``_CURRENT`` pointer behind; it is
+simply ignored — highest-N resolves identically.)
 """
 
 from __future__ import annotations
 
 import os
 import re
-
-_CURRENT = "_CURRENT"
 
 
 class SchemaRegistry:
@@ -40,24 +44,27 @@ class SchemaRegistry:
         """Register a new schema version; returns its version number.
 
         Idempotent: re-registering the current schema returns the current
-        version without writing (connector restarts re-register).
+        version without writing (connector restarts re-register). A lost
+        put-if-absent race re-checks the winner's content — two restarting
+        connectors registering the SAME evolution converge on one version;
+        a different schema takes the next number.
         """
+        text = ddl.strip()
         cur = self.current_version()
-        if cur is not None and self.get(cur) == ddl.strip():
+        if cur is not None and self.get(cur) == text:
             return cur
         version = (cur or 0) + 1
-        self.fs.write_text_atomic(
-            os.path.join(self.dir, f"v{version}.ddl"), ddl.strip()
-        )
-        # atomic pointer swap — same discipline as the table manifest
-        self.fs.write_text_atomic(os.path.join(self.dir, _CURRENT), str(version))
+        while not self.fs.create_exclusive(
+            os.path.join(self.dir, f"v{version}.ddl"), text
+        ):
+            if self.get(version) == text:
+                return version  # concurrent registrant of the same schema
+            version += 1
         return version
 
     def current_version(self) -> int | None:
-        ptr = os.path.join(self.dir, _CURRENT)
-        if not self.fs.exists(ptr):
-            return None
-        return int(self.fs.read_text(ptr).strip())
+        vs = self.versions()
+        return vs[-1] if vs else None
 
     def get(self, version: int) -> str:
         return self.fs.read_text(os.path.join(self.dir, f"v{version}.ddl"))

@@ -26,16 +26,37 @@ Two implementations of one deliberately tiny contract:
   parquet-hadoop's ``ParquetFileReader`` (bundled with Spark), reading
   footers only, never data pages.
 
-Object-store caveat (honest contract, same as Delta's): on S3A a rename is
-copy+delete, not atomic, so the pointer swap needs a coordinating log store
-or a single-writer discipline there. The interface is small precisely so
-that swap stays inside this module.
+Object-store notes (honest contract, same as Delta's):
+
+- ``write_text_atomic`` (write-temp + rename) is atomic on HDFS and local
+  disk but copy+delete on S3A — it remains in the contract ONLY for
+  single-writer, last-value state (the R14 JDBC watermark, whose recovery
+  is re-poll + idempotent merge). Table COMMITS no longer use it: the
+  sink's commit protocol is an append-only log of ``create_exclusive``
+  records (see ``streaming/materialize.py``), because put-if-absent is
+  the one primitive object stores do offer (S3 conditional PUT /
+  ``If-None-Match``, GCS ``x-goog-if-generation-match: 0``).
+- ``create_exclusive`` is the commit primitive: atomically publish a
+  COMPLETE file iff the path does not exist. LocalFS: write-temp +
+  ``os.link`` (hardlink creation is atomic and fails on existing dst).
+  HadoopFS: write-temp + ``FileContext.rename`` WITHOUT overwrite — a
+  single atomic namespace op on HDFS (the primitive Delta's HDFSLogStore
+  uses); schemes with no AbstractFileSystem binding (commonly s3a unless
+  ``fs.AbstractFileSystem.s3a.impl`` is configured) fall back to
+  ``FileSystem.create(path, overwrite=false)``, which S3A enforces at
+  close-time PUT (conditional writes on Hadoop ≥3.4.1) — content is
+  atomic there because the object only becomes visible at close.
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
+
+#: distinguishes concurrent temp files from one driver process (the pid
+#: alone is shared by all of a driver's handles)
+_TMP_SEQ = itertools.count()
 
 
 class LocalFS:
@@ -65,6 +86,30 @@ class LocalFS:
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Put-if-absent: publish ``text`` at ``path`` iff it doesn't exist.
+
+        Returns True when this call created the file, False when the path
+        already existed (another writer won). The published file is always
+        COMPLETE — content is written to a temp file first and linked into
+        place with ``os.link``, which is a single atomic namespace op that
+        fails on an existing destination; a reader can never observe a
+        torn record, and two racers can never both return True.
+        """
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.{next(_TMP_SEQ)}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     def list_names(self, path: str) -> list[str]:
         """Child basenames of ``path`` ([] when missing or not a dir)."""
@@ -148,24 +193,99 @@ class HadoopFS:
         finally:
             stream.close()
 
-    def write_text_atomic(self, path: str, text: str) -> None:
-        """Write-temp + ``FileContext.rename(OVERWRITE)`` — atomic on HDFS
-        (single namespace op), the primitive Delta's HDFSLogStore uses."""
-        tmp = self._path(f"{path}.tmp")
+    def _write_tmp(self, path: str, text: str):
+        """Write ``text`` to a unique temp sibling of ``path``; returns
+        (tmp_jpath, dst_jpath)."""
+        tmp = self._path(f"{path}.{os.getpid()}.{next(_TMP_SEQ)}.tmp")
         dst = self._path(path)
         out = self._fs(tmp).create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        return tmp, dst
+
+    def _file_context(self):
         if self._fc is None:
             self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 self._conf
             )
-        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
-        opts = self._gateway.new_array(rename_cls, 1)
-        opts[0] = rename_cls.OVERWRITE
-        self._fc.rename(tmp, dst, opts)
+        return self._fc
+
+    @staticmethod
+    def _is_java(err: Exception, needle: str) -> bool:
+        """True when a py4j-raised Java exception's class chain names
+        ``needle`` (e.g. 'UnsupportedFileSystemException')."""
+        return needle in str(err)
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Write-temp + ``FileContext.rename(OVERWRITE)`` — atomic on HDFS
+        (single namespace op), the primitive Delta's HDFSLogStore uses.
+
+        Schemes with no AbstractFileSystem binding (commonly s3a unless
+        ``fs.AbstractFileSystem.s3a.impl`` is configured) raise
+        ``UnsupportedFileSystemException`` from FileContext; fall back to
+        ``FileSystem.delete + rename`` there — NOT atomic (a reader can
+        observe the gap), acceptable only because every remaining caller
+        of this method is single-writer last-value state (ADVICE r12);
+        table commits go through :meth:`create_exclusive` instead.
+        """
+        tmp, dst = self._write_tmp(path, text)
+        try:
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            self._file_context().rename(tmp, dst, opts)
+        except Exception as e:
+            if not self._is_java(e, "UnsupportedFileSystemException"):
+                raise
+            fs = self._fs(dst)
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            fs.rename(tmp, dst)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Put-if-absent: write-temp + ``FileContext.rename`` with NO
+        overwrite option — one atomic namespace op on HDFS that fails with
+        ``FileAlreadyExistsException`` when the destination exists, so the
+        published record is complete-or-absent and two racers can't both
+        win. On schemes without an AbstractFileSystem binding, falls back
+        to ``FileSystem.create(path, overwrite=false)`` — the object-store
+        shape: S3A publishes content atomically at close-time PUT, and
+        enforces the no-overwrite condition server-side where conditional
+        writes are available (Hadoop ≥3.4.1 If-None-Match).
+        """
+        tmp, dst = self._write_tmp(path, text)
+        try:
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.NONE
+            self._file_context().rename(tmp, dst, opts)
+            return True
+        except Exception as e:
+            if self._is_java(e, "FileAlreadyExistsException") or self._is_java(
+                e, "already exists"
+            ):
+                self._fs(tmp).delete(tmp, False)  # lost the race: drop temp
+                return False
+            if not self._is_java(e, "UnsupportedFileSystemException"):
+                raise
+            # object-store path: stream straight into a no-overwrite create
+            fs = self._fs(dst)
+            fs.delete(tmp, False)
+            try:
+                out = fs.create(dst, False)
+            except Exception as e2:
+                if self._is_java(e2, "FileAlreadyExistsException") or self._is_java(
+                    e2, "already exists"
+                ):
+                    return False
+                raise
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            return True
 
     def list_names(self, path: str) -> list[str]:
         """[] when missing OR not a dir — Hadoop's listStatus on a FILE

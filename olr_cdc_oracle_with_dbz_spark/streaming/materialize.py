@@ -6,14 +6,29 @@ The Spark-native equivalent is ``writeStream.foreachBatch`` running a keyed
 MERGE per micro-batch into a table the rest of the engine can query.
 
 This local build has no Delta/Iceberg jars, so the table is a
-**hash-bucketed parquet directory with a versioned manifest and an atomic
-pointer swap** — the same MERGE semantics at delta-file (here: bucket)
-granularity:
+**hash-bucketed parquet directory with an append-only commit log of
+immutable, put-if-absent records** — the same MERGE semantics at
+delta-file (here: bucket) granularity, and the same commit shape as
+Delta's transaction log:
 
     table_dir/
-      _CURRENT                        # text file: name of the live version
-      v00000000000042.manifest.json   # {"n_buckets": N, "buckets": {"3": "v.../pb=3", ...}}
+      _commits/c00000000000000000001.json
+          # one IMMUTABLE record per commit, created with
+          # fs.create_exclusive (put-if-absent, never renamed, never
+          # overwritten): {"version": "v...042", "n_buckets": N,
+          #                "buckets": {"3": "v.../pb=3", ...}}
       v00000000000042/pb=3/...parquet # bucket 3 as rewritten by batch 42
+
+"Current" is the highest-sequence record — no pointer file, no rename.
+That makes the commit correct on stores WITHOUT atomic rename (the r12
+seam's own caveat, closed in r13): put-if-absent is the primitive object
+stores actually offer (S3 conditional PUT / If-None-Match, GCS
+if-generation-match), and the optimistic-concurrency fence becomes
+genuinely atomic — two writers deriving from parent sequence P both try
+to create record P+1 and exactly one wins; the loser raises and
+re-derives. The r12 protocol's check-then-swap near-miss window is gone.
+(Pre-r13 tables with the old ``_CURRENT`` pointer + ``*.manifest.json``
+layout are read as commit 0 and migrate on their next commit.)
 
 A micro-batch MERGE rewrites ONLY the buckets its keys hash into; untouched
 buckets stay referenced at their old version paths. Per-batch write cost is
@@ -32,8 +47,9 @@ Tombstones persist until major compaction (Delta-style retention window).
 
 Exactly-once: foreachBatch may replay a batch after failure; the merge is
 idempotent (latest-SCN-wins is a deterministic function of {current state ∪
-batch}), and the version label is keyed by batch id, so replays overwrite
-rather than duplicate — together with the checkpoint offset log this gives
+batch}), and the version label is keyed by batch id, so a replay rewrites
+the same data paths and appends a new commit record with the same label
+and identical content — together with the checkpoint offset log this gives
 the reference's effective exactly-once contract (R15).
 """
 
@@ -54,9 +70,9 @@ from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
 )
 from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
 
-_CURRENT = "_CURRENT"
+_CURRENT = "_CURRENT"  # legacy (pre-r13) pointer file, read-only migration
+_COMMITS = "_commits"  # append-only commit log directory
 _PB = "pb"  # bucket partition column
-_UNSET = object()  # "no concurrency fence" sentinel for _commit
 
 
 class ParquetUpsertTable:
@@ -103,7 +119,7 @@ class ParquetUpsertTable:
         self.extra_cols = extra_cols
         self.fs = fs if fs is not None else LocalFS()
         self.fs.mkdirs(table_dir)
-        m = self._manifest()
+        _seq, m = self._head()
         if m is not None:
             committed = m.get("n_buckets", self.DEFAULT_BUCKETS)
             if n_buckets is not None and n_buckets != committed:
@@ -119,59 +135,129 @@ class ParquetUpsertTable:
                 self.DEFAULT_BUCKETS if n_buckets is None else n_buckets
             )
 
-    # -- manifest / pointer ------------------------------------------------
-    def current_version(self) -> str | None:
-        ptr = os.path.join(self.table_dir, _CURRENT)
-        if not self.fs.exists(ptr):
-            return None
-        v = self.fs.read_text(ptr).strip()
-        return v or None
+    # -- commit log ----------------------------------------------------------
+    def _commit_dir(self) -> str:
+        return os.path.join(self.table_dir, _COMMITS)
 
-    def _manifest_path(self, version: str) -> str:
-        return os.path.join(self.table_dir, f"{version}.manifest.json")
+    def _commit_path(self, seq: int) -> str:
+        return os.path.join(self._commit_dir(), f"c{seq:020d}.json")
+
+    def _commit_seqs(self) -> list[int]:
+        """All committed sequence numbers, ascending (driver-side listing of
+        the log dir — bounded by vacuum retention, not by table size)."""
+        out = []
+        for name in self.fs.list_names(self._commit_dir()):
+            if name.startswith("c") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _record(self, seq: int) -> dict | None:
+        """One commit record, or None when it can't be parsed. An
+        unparseable record only exists on a store where ``create_exclusive``
+        degrades to a non-atomic create (object store without conditional
+        writes) AND the writer died mid-upload — readers treat it as
+        not-committed and fall back to the previous record."""
+        try:
+            return json.loads(self.fs.read_text(self._commit_path(seq)))
+        except (ValueError, OSError):
+            return None
+
+    def _head(self) -> tuple[int, dict | None]:
+        """(sequence, manifest) of the newest readable commit; (0, None)
+        for an empty table. The sequence is the fence token every writer
+        carries into :meth:`_commit`.
+
+        Note the torn-head case: if the highest record is unreadable (a
+        writer died mid-create on a degraded store), reads fall back to
+        the previous record but the dead writer still OCCUPIES its
+        sequence — a later commit deriving from the fallback raises at
+        the fence instead of silently superseding a record whose fate is
+        unknown. That's the conservative posture Delta's log takes with
+        zombie commit files; recovery is deleting the torn record.
+        """
+        seqs = self._commit_seqs()
+        for seq in reversed(seqs):
+            m = self._record(seq)
+            if m is not None:
+                return seq, m
+        # legacy (pre-r13) pointer layout: adopt as commit 0; the next
+        # commit writes record 1 and the log supersedes the pointer
+        ptr = os.path.join(self.table_dir, _CURRENT)
+        if not seqs and self.fs.exists(ptr):
+            v = self.fs.read_text(ptr).strip()
+            if v:
+                m = json.loads(
+                    self.fs.read_text(
+                        os.path.join(self.table_dir, f"{v}.manifest.json")
+                    )
+                )
+                m.setdefault("version", v)
+                return 0, m
+        return 0, None
+
+    def current_version(self) -> str | None:
+        """Label of the live version (e.g. ``v...042``), or None."""
+        _seq, m = self._head()
+        return m.get("version") if m else None
 
     def _manifest(self, version: str | None = None) -> dict | None:
-        v = version or self.current_version()
-        if v is None:
-            return None
-        return json.loads(self.fs.read_text(self._manifest_path(v)))
+        """Head manifest, or time-travel to a retained version LABEL (the
+        newest record carrying that label wins — a replayed batch appends
+        a content-identical record under the same label)."""
+        seq, m = self._head()
+        if version is None or (m and m.get("version") == version):
+            return m
+        for s in reversed(self._commit_seqs()):
+            if s >= seq:
+                continue
+            r = self._record(s)
+            if r is not None and r.get("version") == version:
+                return r
+        return None
 
     def _commit(
         self,
         version: str,
         buckets: dict[str, str],
-        expect_parent: str | None | object = _UNSET,
-    ) -> None:
-        """Write the manifest then atomically flip the pointer.
+        expect_parent: int,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Append one immutable commit record at sequence ``expect_parent
+        + 1`` via put-if-absent; returns the committed sequence.
 
-        ``expect_parent`` is the optimistic-concurrency fence: the version
-        this write's state was DERIVED from. If another writer advanced
-        the pointer in between, committing would silently drop that
-        writer's rows (the classic lost update — e.g. a compaction whose
-        rewrite raced a micro-batch merge), so the commit refuses instead.
-        The check-then-swap window is not itself atomic — the fence turns
-        a silent loss into a detectable near-miss, the same posture as
-        Delta's optimistic protocol without a lock server; true multi-
-        writer needs the coordinating log store the module docstring
-        names. Replays are unaffected: a replayed batch re-derives from
-        the CURRENT pointer (possibly its own earlier commit) and passes.
+        ``expect_parent`` is the optimistic-concurrency fence: the commit
+        sequence this write's state was DERIVED from (``_head()[0]`` at
+        derive time). If another writer committed in between, its record
+        already occupies ``expect_parent + 1`` and ``create_exclusive``
+        loses — committing anyway would silently drop that writer's rows
+        (the classic lost update, e.g. a compaction whose rewrite raced a
+        micro-batch merge), so this raises instead. Unlike the r12
+        pointer-swap fence there is NO check-then-act window: put-if-
+        absent makes exactly one deriver of any parent win, on every
+        store including non-atomic-rename object stores (Delta's
+        optimistic protocol, with the log store built in). Replays are
+        unaffected: a replayed batch re-derives from the live head
+        (possibly its own earlier commit) and appends a fresh record.
         """
-        if expect_parent is not _UNSET:
-            live = self.current_version()
-            if live != expect_parent:
-                raise RuntimeError(
-                    f"concurrent writer detected on {self.table_dir}: "
-                    f"state derived from {expect_parent!r} but the live "
-                    f"version is {live!r}; committing {version} would drop "
-                    f"that writer's rows — re-derive and retry"
-                )
-        self.fs.write_text_atomic(
-            self._manifest_path(version),
-            json.dumps({"n_buckets": self.n_buckets, "buckets": buckets}),
+        seq = expect_parent + 1
+        record = json.dumps(
+            {
+                "version": version,
+                "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
+                "buckets": buckets,
+            }
         )
-        # atomic swap: readers see the old pointer or the new, never a torn
-        # one (FileContext.rename(OVERWRITE) on HadoopFS, os.replace locally)
-        self.fs.write_text_atomic(os.path.join(self.table_dir, _CURRENT), version)
+        if not self.fs.create_exclusive(self._commit_path(seq), record):
+            live_seq, live = self._head()
+            raise RuntimeError(
+                f"concurrent writer detected on {self.table_dir}: state "
+                f"derived from commit {expect_parent} but commit {seq} "
+                f"already exists (live: {live_seq} -> "
+                f"{live.get('version') if live else None!r}); committing "
+                f"{version} would drop that writer's rows — re-derive and "
+                f"retry"
+            )
+        return seq
 
     # -- read side ---------------------------------------------------------
     def read(self, version: str | None = None) -> DataFrame | None:
@@ -266,34 +352,54 @@ class ParquetUpsertTable:
         return df.filter(F.col(self.key).isin(*cast_lits))
 
     def versions(self) -> list[str]:
-        """All retained versions, oldest→newest (batch id order)."""
-        suffix = ".manifest.json"
-        return sorted(
-            f[: -len(suffix)]
-            for f in self.fs.list_names(self.table_dir)
-            if f.endswith(suffix)
-        )
+        """All retained version LABELS, oldest→newest (commit order). A
+        replayed batch appends a second record under the same label, so
+        labels are deduplicated — one logical version per label."""
+        seen: dict[str, None] = {}  # insertion-ordered set
+        for s in self._commit_seqs():
+            r = self._record(s)
+            if r is not None:
+                seen.setdefault(r["version"], None)
+        if not seen:
+            _seq, m = self._head()  # legacy-pointer table
+            if m is not None:
+                return [m["version"]]
+        return list(seen)
 
     def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` manifests (never the live one),
-        then garbage-collect data dirs no retained manifest references."""
-        live = self.current_version()
-        victims = [v for v in self.versions()[:-keep] if v != live]
-        for v in victims:
-            self.fs.delete(self._manifest_path(v))
+        """Drop all but the newest ``keep`` commit records (never the
+        head), then garbage-collect data dirs no retained record
+        references. Returns the dropped records' version labels."""
+        seqs = self._commit_seqs()
+        if not seqs:
+            return []  # empty or legacy-pointer table: nothing to vacuum
+        victims = seqs[:-keep] if keep > 0 else seqs[:-1]
+        dropped = []
+        for s in victims:
+            r = self._record(s)
+            dropped.append(r["version"] if r else f"c{s}")
+            self.fs.delete(self._commit_path(s))
         referenced = set()
-        for v in self.versions():
-            for rel in self._manifest(v)["buckets"].values():
+        for s in self._commit_seqs():
+            r = self._record(s)
+            if r is None:
+                continue
+            for rel in r["buckets"].values():
                 referenced.add(rel.split("/", 1)[0])
         for d in self.fs.list_names(self.table_dir):
             p = os.path.join(self.table_dir, d)
             if d.startswith("v") and d not in referenced and self.fs.is_dir(p):
                 self.fs.delete(p)
-        return victims
+        # dedupe labels (replay records share one) preserving order
+        out: dict[str, None] = {}
+        for v in dropped:
+            out.setdefault(v, None)
+        return list(out)
 
     # -- write side --------------------------------------------------------
-    def _bucket_col(self):
-        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+    def _bucket_col(self, n_buckets: int | None = None):
+        n = self.n_buckets if n_buckets is None else n_buckets
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(n))
 
     def merge_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
         """MERGE: latest event per key wins; deletes tombstone rows (R8/R9).
@@ -302,12 +408,23 @@ class ParquetUpsertTable:
         rewritten — one partitioned write job regardless of bucket count.
         """
         label = f"v{batch_id:020d}"
+        parent_seq, manifest = self._head()  # fence token for _commit
+        if manifest is not None:
+            committed = manifest.get("n_buckets", self.n_buckets)
+            if committed != self.n_buckets:
+                # ADVICE r12: this handle predates a compact(n_buckets=...)
+                # re-bucket by another handle — hashing with the stale count
+                # would stamp a mixed-layout manifest (missed lookups,
+                # duplicated keys on later merges). Adopt the committed
+                # layout: everything below derives from self.n_buckets, so
+                # adoption keeps hash, pruning, and the committed record
+                # consistent — and a long-lived foreachBatch handle keeps
+                # working across a maintenance re-bucket.
+                self.n_buckets = committed
         batch = unwrapped.withColumn(_PB, self._bucket_col())
         touched = sorted(
             r[0] for r in batch.select(_PB).distinct().collect()
         )  # ≤ n_buckets scalars on the driver — bounded, not data-sized
-        parent = self.current_version()  # concurrency fence for _commit
-        manifest = self._manifest(parent) if parent else None
         buckets = dict(manifest["buckets"]) if manifest else {}
         src = batch
         # One read per VERSION dir (partition discovery restores pb from
@@ -351,7 +468,7 @@ class ParquetUpsertTable:
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
             buckets[str(b)] = f"{label}/{_PB}={b}"
-        self._commit(label, buckets, expect_parent=parent)
+        self._commit(label, buckets, expect_parent=parent_seq)
 
     def compact(
         self, target_partitions: int = 8, n_buckets: int | None = None
@@ -374,19 +491,24 @@ class ParquetUpsertTable:
         ``n_buckets`` RE-BUCKETS the table (the grown-table path: a table
         that outlived its initial bucket count gets a wider layout here,
         since every row is being rewritten anyway). The new count is
-        committed in the manifest, so later reopens adopt it.
+        committed in the record, so later reopens adopt it; the HANDLE's
+        count is only updated after the commit succeeds — a fence failure
+        (the raced-merge case) leaves the handle on the live layout, so a
+        caller that catches the error and keeps merging stays correct
+        instead of silently corrupting bucketing (ADVICE r12).
         """
-        live = self.current_version()
-        current = self.read()  # tombstones already filtered
+        parent_seq, manifest = self._head()
+        if manifest is None:
+            return
+        current = self.read(manifest["version"])  # tombstones filtered
         if current is None:
             return
-        if n_buckets is not None:
-            self.n_buckets = n_buckets  # _bucket_col + _commit pick it up
-        label = f"{live}c"  # e.g. v...042 -> v...042c
+        n = self.n_buckets if n_buckets is None else n_buckets
+        label = f"{manifest['version']}c"  # e.g. v...042 -> v...042c
         out = os.path.join(self.table_dir, label)
         (
             current.withColumn("__deleted", F.lit(False))
-            .withColumn(_PB, self._bucket_col())
+            .withColumn(_PB, self._bucket_col(n))
             .repartition(target_partitions, F.col(_PB))
             .sortWithinPartitions(_PB, self.key)
             .write.partitionBy(_PB)
@@ -398,7 +520,8 @@ class ParquetUpsertTable:
             for d in self.fs.list_names(out)
             if d.startswith(f"{_PB}=")
         }
-        self._commit(label, buckets, expect_parent=live)
+        self._commit(label, buckets, expect_parent=parent_seq, n_buckets=n)
+        self.n_buckets = n  # only after a successful commit
 
     # -- micro-batch coalescing (spool) -------------------------------------
     # CDC_STEADY_r09 decomposition: each MERGE commit pays a ~1 s fixed

@@ -22,10 +22,13 @@ def spark():
 
 @pytest.fixture(autouse=True)
 def _sink_fs_override(request):
-    """OLR_TEST_FS=hadoop reroutes every ParquetUpsertTable constructed with
-    the DEFAULT fs through HadoopFS — so the literal, unmodified sink suite
+    """OLR_TEST_FS=hadoop reroutes every seam client constructed with the
+    DEFAULT fs through HadoopFS — so the literal, unmodified sink suite
     (crash-replay, spool property test, pipelines) runs through the cluster
-    filesystem seam. Default (unset): LocalFS, byte-identical to before."""
+    filesystem seam. Patches BOTH the materialize module's import-time
+    binding and the fs module's own name (SchemaRegistry and
+    JdbcIncrementalSource resolve ``fs.LocalFS`` lazily at construct time —
+    ADVICE r12). Default (unset): LocalFS, byte-identical to before."""
     if os.environ.get("OLR_TEST_FS") != "hadoop":
         yield
         return
@@ -33,11 +36,14 @@ def _sink_fs_override(request):
     from olr_cdc_oracle_with_dbz_spark.streaming import materialize as mat
 
     spark = request.getfixturevalue("spark")
-    orig = mat.LocalFS
-    mat.LocalFS = lambda: fs_mod.HadoopFS(spark)
+    orig = fs_mod.LocalFS
+    shim = lambda: fs_mod.HadoopFS(spark)  # noqa: E731
+    fs_mod.LocalFS = shim
+    mat.LocalFS = shim
     try:
         yield
     finally:
+        fs_mod.LocalFS = orig
         mat.LocalFS = orig
 
 

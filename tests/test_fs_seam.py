@@ -81,6 +81,15 @@ def test_fs_contract_parity(spark, tmp_path):
         fs.write_text_atomic(deep, "y")
         assert fs.read_text(deep) == "y"
 
+        # create_exclusive (r13 commit primitive): first writer wins, the
+        # loser gets False with the winner's content intact; no temp files
+        # linger; missing parents auto-create
+        rec = os.path.join(root, "_commits", "c1.json")
+        assert fs.create_exclusive(rec, "winner") is True
+        assert fs.create_exclusive(rec, "loser") is False
+        assert fs.read_text(rec) == "winner"
+        assert fs.list_names(os.path.join(root, "_commits")) == ["c1.json"]
+
 
 def _frame(spark, rows):
     return spark.createDataFrame(

@@ -933,9 +933,10 @@ def test_bucket_count_conflict_raises_and_compact_rebuckets(spark, tmp_path):
 
 def test_commit_fence_detects_lost_update(spark, tmp_path):
     """The optimistic-concurrency fence: a commit derived from a stale
-    parent version (a compaction that raced a merge) must raise instead
-    of silently dropping the interleaved writer's rows. Replays — which
-    re-derive from the CURRENT pointer — stay unaffected."""
+    parent commit (a compaction that raced a merge) must raise instead
+    of silently dropping the interleaved writer's rows — put-if-absent on
+    the parent+1 log record, atomic per the r13 commit protocol. Replays
+    — which re-derive from the live head — stay unaffected."""
     import pytest
 
     t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=4)
@@ -943,11 +944,11 @@ def test_commit_fence_detects_lost_update(spark, tmp_path):
         rows, "id bigint, name string, _scn bigint, __deleted boolean"
     )
     t.merge_batch(mk([(1, "a", 100, False)]), 1)
-    stale = t.current_version()
+    stale_seq, _m = t._head()
     t.merge_batch(mk([(2, "b", 101, False)]), 2)  # interleaved writer
 
     with pytest.raises(RuntimeError, match="concurrent writer"):
-        t._commit("v99", {}, expect_parent=stale)
+        t._commit("v99", {}, expect_parent=stale_seq)
 
     # normal single-writer paths keep working after the refusal
     t.compact(target_partitions=2)
