@@ -107,7 +107,12 @@ class JdbcIncrementalSource:
         return json.loads(self.fs.read_text(self.state_path))["watermark"]
 
     def _write_state(self, wm: int | float | str) -> None:
-        # atomic, like the checkpoint swap
+        # write_text_atomic is deliberately still the primitive here (the
+        # r13 put-if-absent commit log is for MULTI-writer table commits):
+        # the watermark is single-writer last-value state, and its failure
+        # mode under a non-atomic rename is a missing/stale file — recovery
+        # is re-polling from the older watermark, which the downstream
+        # idempotent MERGE absorbs (at-least-once pull, exactly-once state).
         self.fs.write_text_atomic(
             self.state_path, json.dumps({"watermark": wm, "col": self.watermark_col})
         )
