@@ -1,8 +1,8 @@
 """Filesystem seam for table metadata / spool bookkeeping (R8 sink, R15).
 
-``ParquetUpsertTable``'s manifest / pointer / spool operations are
-directory-level metadata I/O: tiny text files, listings, an atomic pointer
-rename, recursive deletes, and parquet-footer row counts. The DATA path
+``ParquetUpsertTable``'s commit-log / spool operations are
+directory-level metadata I/O: tiny immutable record files, listings,
+recursive deletes, and parquet-footer row counts. The DATA path
 (reading/writing bucket parquet) already goes through Spark and therefore
 through whatever cluster filesystem Spark is configured for — but until
 this seam the METADATA path was hardwired to driver-local ``os``/``shutil``,
@@ -19,12 +19,9 @@ Two implementations of one deliberately tiny contract:
   round-trips per call, right for local tables, tests, and this build.
 - :class:`HadoopFS` — ``org.apache.hadoop.fs.FileSystem`` obtained from the
   live SparkSession's JVM via py4j, so every scheme Spark can write
-  (hdfs, s3a, abfs, gs, file, ...) works with no extra Python deps. The
-  atomic pointer swap uses ``FileContext.rename(..., Rename.OVERWRITE)``,
-  which HDFS implements as an atomic namespace operation — the same
-  primitive Delta's HDFSLogStore builds on; footer row counts use
-  parquet-hadoop's ``ParquetFileReader`` (bundled with Spark), reading
-  footers only, never data pages.
+  (hdfs, s3a, abfs, gs, file, ...) works with no extra Python deps;
+  footer row counts use parquet-hadoop's ``ParquetFileReader`` (bundled
+  with Spark), reading footers only, never data pages.
 
 Object-store notes (honest contract, same as Delta's):
 

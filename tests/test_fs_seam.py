@@ -16,8 +16,10 @@ default-constructed ``ParquetUpsertTable`` through HadoopFS, so the
 LITERAL unmodified sink suite — S1 checkpoint kill/restart, the
 crash-before-spool-clear replay test, the hypothesis spool-convergence
 property test, the declarative pipelines, the CDC goldens — runs through
-the seam. Verified green (74 tests, incl. the commit fence, re-bucket,
-and watermark additions) at round-12 HEAD on 2026-08-15:
+the seam; since r13 the conftest shim also reroutes SchemaRegistry and
+JdbcIncrementalSource defaults (ADVICE r12). Verified green (74 tests,
+incl. the r13 put-if-absent commit-log protocol, fence, re-bucket, and
+watermark) at round-13 HEAD on 2026-08-15:
 
     OLR_TEST_FS=hadoop python -m pytest tests/test_streaming.py \\
         tests/test_property.py tests/test_pipeline.py tests/test_cdc.py \\
