@@ -248,6 +248,18 @@ class ParquetUpsertTable:
             }
         )
         if not self.fs.create_exclusive(self._commit_path(seq), record):
+            if self._record(seq) is None:
+                # the occupying record is unreadable: a writer died mid-
+                # create on a store where create_exclusive degrades to a
+                # non-atomic create. Its fate is unknown, so it is not
+                # silently superseded — name the zombie and the recovery.
+                raise RuntimeError(
+                    f"concurrent writer detected on {self.table_dir}: "
+                    f"commit {seq} exists but is unreadable (torn record "
+                    f"from a writer that died mid-commit). Verify that "
+                    f"writer is dead, delete {self._commit_path(seq)}, "
+                    f"and retry"
+                )
             live_seq, live = self._head()
             raise RuntimeError(
                 f"concurrent writer detected on {self.table_dir}: state "

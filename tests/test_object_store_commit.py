@@ -146,7 +146,8 @@ def test_torn_head_record_skipped_by_readers_blocks_writers(spark, tmp_path):
     assert t.current_version() == good["version"]
     assert t.read().count() == 1
 
-    with pytest.raises(RuntimeError, match="concurrent writer"):
+    # the writer's refusal names the zombie record and the recovery step
+    with pytest.raises(RuntimeError, match="torn record"):
         t.merge_batch(_frame(spark, [(2, "b", 101, False)]), 2)
 
     os.remove(torn)  # operator recovery: drop the zombie record
