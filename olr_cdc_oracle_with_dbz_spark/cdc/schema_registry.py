@@ -5,8 +5,8 @@ dictionary-snapshot SCN (``schema-ref-scn``,
 /root/reference/olr-checkpoint/ORACLE-chkpt-2156848.json:11) and Kafka
 value schemas are centrally registered + versioned per topic
 (/root/reference/docker-compose-main.yml:97-119). The engine's equivalent:
-a per-table store of versioned Spark DDL schemas with an atomic current
-pointer — streaming ingest decodes with the pinned version; additive
+a per-table store of versioned Spark DDL schemas with an unambiguous
+current version — streaming ingest decodes with the pinned version; additive
 evolution registers version N+1 and re-parses (old events yield NULL for
 new fields, exactly Debezium/JDBC-sink ``auto.evolve``).
 

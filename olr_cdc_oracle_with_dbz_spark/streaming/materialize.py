@@ -106,7 +106,7 @@ class ParquetUpsertTable:
         table with ``compact(n_buckets=...)``.
 
         ``fs``: the metadata-bookkeeping filesystem (``fs.LocalFS`` /
-        ``fs.HadoopFS``). Every manifest / pointer / spool directory op
+        ``fs.HadoopFS``). Every commit-record / spool directory op
         routes through it; the DATA path (bucket parquet) already goes
         through Spark's own Hadoop FS client. Pass ``HadoopFS(spark)``
         when ``table_dir`` lives on shared storage (hdfs://, s3a://, ...)
@@ -492,8 +492,8 @@ class ParquetUpsertTable:
         bucket by PK, and bounds file count so point lookups prune via
         bucket hash + per-file min/max stats and scans stay wide-split
         (SCALE.md §5). Tombstones older than the compaction are dropped
-        here — the end of their retention window. Same atomic pointer swap
-        as a merge — readers never see a half-written version. A merge
+        here — the end of their retention window. Same put-if-absent
+        commit as a merge — readers never see a half-written version. A merge
         that lands DURING the rewrite is detected at commit time (the
         ``expect_parent`` fence): committing a compaction derived from the
         pre-merge state would silently drop that merge's rows, so the
