@@ -284,3 +284,40 @@ def test_schema_registry_through_object_store_fs(spark, tmp_path):
     # lost race, DIFFERENT content: take the next number
     assert other.register("id bigint, name string, y int") == 4
     assert reg.current_version() == 4
+
+
+def _race_worker(args):
+    """Module-level for pickling: race N sequential record creates."""
+    root, worker_id, n_seqs = args
+    fs = LocalFS()
+    wins = []
+    for seq in range(n_seqs):
+        if fs.create_exclusive(os.path.join(root, f"c{seq}.json"), worker_id):
+            wins.append(seq)
+    return wins
+
+
+def test_create_exclusive_multiprocess_exactly_one_winner(tmp_path):
+    """The commit primitive under REAL concurrency: 8 processes race to
+    create the same 40 sequence records; every record gets exactly one
+    winner, every winner's content is complete (never torn/mixed), and
+    the win counts sum to the record count — the property the whole r13
+    fence rests on, asserted at the os.link layer itself."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "log")
+    os.makedirs(root)
+    n_workers, n_seqs = 8, 40
+    with mp.get_context("spawn").Pool(n_workers) as pool:
+        wins = pool.map(
+            _race_worker, [(root, f"w{i}", n_seqs) for i in range(n_workers)]
+        )
+    all_wins = [s for w in wins for s in w]
+    assert sorted(all_wins) == list(range(n_seqs))  # exactly one winner each
+    fs = LocalFS()
+    for seq in range(n_seqs):
+        content = fs.read_text(os.path.join(root, f"c{seq}.json"))
+        assert content in {f"w{i}" for i in range(n_workers)}  # complete
+    assert sorted(fs.list_names(root)) == sorted(
+        f"c{s}.json" for s in range(n_seqs)
+    )  # no temp-file litter
