@@ -402,6 +402,11 @@ class ParquetUpsertTable:
             p = os.path.join(self.table_dir, d)
             if d.startswith("v") and d not in referenced and self.fs.is_dir(p):
                 self.fs.delete(p)
+            elif d == _CURRENT or d.endswith(".manifest.json"):
+                # superseded pre-r13 pointer layout: once the commit log
+                # exists it is the only source of truth, and a lingering
+                # pointer would mislead a legacy reader into stale state
+                self.fs.delete(p)
         # dedupe labels (replay records share one) preserving order
         out: dict[str, None] = {}
         for v in dropped:

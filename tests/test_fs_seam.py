@@ -207,3 +207,39 @@ def test_jdbc_watermark_through_hadoop_fs(spark, tmp_path):
     # restart with a LocalFS handle: same committed watermark, no re-reads
     src2 = JdbcIncrementalSource(spark, "ts", state, load)
     assert src2.poll().count() == 0
+
+
+def test_hadoop_fs_unsupported_filesystem_fallbacks(spark, tmp_path):
+    """ADVICE r12: schemes without an AbstractFileSystem binding (commonly
+    s3a) make FileContext raise UnsupportedFileSystemException — both
+    write_text_atomic and create_exclusive must fall back to plain
+    FileSystem ops instead of failing on exactly the object-store roots
+    the seam advertises. Pinned by making the FileContext path raise."""
+    fs = HadoopFS(spark)
+
+    def boom():
+        raise RuntimeError(
+            "org.apache.hadoop.fs.UnsupportedFileSystemException: "
+            "fs.AbstractFileSystem.s3a.impl=null"
+        )
+
+    fs._file_context = boom
+
+    ptr = os.path.join(str(tmp_path), "ptr")
+    fs.write_text_atomic(ptr, "v1")  # delete+rename fallback
+    assert fs.read_text(ptr) == "v1"
+    fs.write_text_atomic(ptr, "v2")  # overwrite through the fallback
+    assert fs.read_text(ptr) == "v2"
+
+    rec = os.path.join(str(tmp_path), "_commits", "c1.json")
+    assert fs.create_exclusive(rec, "winner") is True  # create(overwrite=F)
+    assert fs.create_exclusive(rec, "loser") is False
+    assert fs.read_text(rec) == "winner"
+
+    # any OTHER FileContext failure still propagates (no silent fallback)
+    def other():
+        raise RuntimeError("some unrelated JVM failure")
+
+    fs._file_context = other
+    with pytest.raises(RuntimeError, match="unrelated"):
+        fs.write_text_atomic(ptr, "v3")

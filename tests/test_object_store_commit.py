@@ -186,6 +186,15 @@ def test_legacy_pointer_table_migrates_on_next_commit(spark, tmp_path):
     state = {r["id"]: r["name"] for r in legacy.read().collect()}
     assert state[3] == "upd3" and len(state) == 6
 
+    # vacuum clears the superseded pointer layout (a lingering _CURRENT
+    # would mislead a legacy reader into the pre-migration state)
+    legacy.vacuum(keep=2)
+    assert not fs.exists(os.path.join(tdir, "_CURRENT"))
+    assert not any(
+        n.endswith(".manifest.json") for n in fs.list_names(tdir)
+    )
+    assert legacy.read().count() == 6  # table unaffected
+
 
 def test_compact_fence_failure_keeps_handle_on_live_layout(spark, tmp_path):
     """ADVICE r12: a re-bucketing compaction whose commit loses the fence
