@@ -330,3 +330,64 @@ def test_create_exclusive_multiprocess_exactly_one_winner(tmp_path):
     assert sorted(fs.list_names(root)) == sorted(
         f"c{s}.json" for s in range(n_seqs)
     )  # no temp-file litter
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check of the commit log: random interleavings of merge /
+    replay / compact / re-bucket / vacuum through the simulated object
+    store must converge to a plain-Python latest-SCN-wins model. Seeded
+    exhaustive-ish sweep rather than hypothesis (each op runs Spark jobs,
+    so the budget goes to DIVERSE op sequences, not shrinking)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        fs = ObjectStoreFS()
+        tdir = str(tmp_path / f"tbl{seed}")
+        t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+        model: dict[int, tuple[int, str, bool]] = {}  # id -> (scn, name, del)
+        scn = 100
+        last_batch = None
+        for step in range(7):
+            op = rng.choice(["merge", "merge", "replay", "compact", "vacuum"])
+            if op == "merge" or (op == "replay" and last_batch is None):
+                rows = []
+                for _ in range(rng.randint(1, 5)):
+                    k = rng.randint(0, 9)
+                    deleted = rng.random() < 0.25
+                    scn += 1
+                    rows.append((k, f"n{scn}", scn, deleted))
+                    cur = model.get(k)
+                    if cur is None or scn >= cur[0]:
+                        model[k] = (scn, f"n{scn}", deleted)
+                last_batch = (rows, step + 1)
+                t.merge_batch(_frame(spark, rows), step + 1)
+            elif op == "replay":
+                rows, bid = last_batch
+                t.merge_batch(_frame(spark, rows), bid)  # idempotent
+            elif op == "compact":
+                t.compact(
+                    target_partitions=2,
+                    n_buckets=rng.choice([None, 4, 8]),
+                )
+            elif op == "vacuum":
+                t.vacuum(keep=rng.choice([1, 2]))
+        expect = sorted(
+            (k, name, s) for k, (s, name, d) in model.items() if not d
+        )
+        df = t.read()
+        got = (
+            sorted((r["id"], r["name"], r["_scn"]) for r in df.collect())
+            if df is not None
+            else []
+        )
+        assert got == expect, f"seed {seed} diverged"
+        assert fs.swap_calls == 0  # never a rename swap, any op mix
+        # reopen sees the same state (layout is the contract)
+        r = ParquetUpsertTable(spark, tdir, key="id", fs=ObjectStoreFS())
+        lookup = r.read_keys([k for k, _, _ in expect][:3])
+        if expect:
+            assert lookup.count() == min(3, len(expect))
+        assert r.read().filter(F.col("id") < 0).count() == 0
