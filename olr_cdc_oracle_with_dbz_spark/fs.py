@@ -40,9 +40,12 @@ Object-store notes (honest contract, same as Delta's):
   single atomic namespace op on HDFS (the primitive Delta's HDFSLogStore
   uses); schemes with no AbstractFileSystem binding (commonly s3a unless
   ``fs.AbstractFileSystem.s3a.impl`` is configured) fall back to
-  ``FileSystem.create(path, overwrite=false)``, which S3A enforces at
-  close-time PUT (conditional writes on Hadoop ≥3.4.1) — content is
-  atomic there because the object only becomes visible at close.
+  ``FileSystem.create(path, overwrite=false)`` — content is atomic there
+  because the object only becomes visible at close-time PUT, but the
+  no-overwrite FENCE is server-enforced only where the client supports
+  conditional writes (S3A on Hadoop >= 3.4.1 / If-None-Match); older
+  clients check client-side and a one-time RuntimeWarning is emitted on
+  that path (ADVICE r13).
 """
 
 from __future__ import annotations
@@ -93,6 +96,13 @@ class LocalFS:
         place with ``os.link``, which is a single atomic namespace op that
         fails on an existing destination; a reader can never observe a
         torn record, and two racers can never both return True.
+
+        REQUIRES hardlink support on the target filesystem (true for the
+        declared LocalFS contract: driver-local disk). On link-less mounts
+        sometimes used as "local" paths (some FUSE/NFS/object-store
+        gateways) ``os.link`` raises OSError rather than degrading — route
+        such paths through :class:`HadoopFS` instead, whose fallback chain
+        handles stores without a link/rename primitive.
         """
         parent = os.path.dirname(path)
         if parent:
@@ -158,6 +168,10 @@ class HadoopFS:
         self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._fc = None  # lazy FileContext (only the pointer swap needs it)
+        #: schemes FileContext refused (no AbstractFileSystem binding) —
+        #: later create_exclusive calls skip straight to the object-store
+        #: path instead of uploading a doomed temp file first (ADVICE r13)
+        self._fc_unsupported: set[str] = set()
 
     # -- JVM plumbing -------------------------------------------------------
     def _path(self, p: str):
@@ -181,8 +195,20 @@ class HadoopFS:
         self._fs(p).mkdirs(p)
 
     def read_text(self, path: str) -> str:
+        """Read a whole text file. A missing path raises the PYTHON
+        ``FileNotFoundError`` (an OSError), not the raw py4j-wrapped
+        ``java.io.FileNotFoundException`` — callers that tolerate
+        missing-file races (a commit record deleted by a concurrent
+        vacuum between listing and read, ``materialize._record``) catch
+        OSError and must behave identically on both seam impls
+        (ADVICE r13)."""
         p = self._path(path)
-        stream = self._fs(p).open(p)
+        try:
+            stream = self._fs(p).open(p)
+        except Exception as e:
+            if self._is_java(e, "FileNotFoundException"):
+                raise FileNotFoundError(path) from e
+            raise
         try:
             return self._jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
@@ -248,41 +274,75 @@ class HadoopFS:
         published record is complete-or-absent and two racers can't both
         win. On schemes without an AbstractFileSystem binding, falls back
         to ``FileSystem.create(path, overwrite=false)`` — the object-store
-        shape: S3A publishes content atomically at close-time PUT, and
-        enforces the no-overwrite condition server-side where conditional
-        writes are available (Hadoop ≥3.4.1 If-None-Match).
+        shape: S3A publishes content atomically at close-time PUT.
+
+        HONEST FENCE CONTRACT on the fallback (ADVICE r13): the
+        no-overwrite condition is only enforced SERVER-side where the
+        store supports conditional writes (S3A on Hadoop >= 3.4.1 uses
+        If-None-Match). Older S3A clients enforce it client-side
+        (HEAD-then-PUT), which reopens a small race window in which two
+        committers can both return True and one record is silently
+        overwritten. A one-time warning is emitted the first time a
+        scheme takes this path so operators can confirm their client
+        version; HDFS/local rename paths are unaffected.
+
+        The temp file never outlives a failure: every exit from the
+        rename path — lost race, unsupported scheme, or an unexpected
+        error re-raise — drops it (ADVICE r13), and once a scheme is
+        known FileContext-unsupported later calls skip the temp upload
+        entirely instead of paying the content write twice.
         """
-        tmp, dst = self._write_tmp(path, text)
-        try:
-            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
-            opts = self._gateway.new_array(rename_cls, 1)
-            opts[0] = rename_cls.NONE
-            self._file_context().rename(tmp, dst, opts)
-            return True
-        except Exception as e:
-            if self._is_java(e, "FileAlreadyExistsException") or self._is_java(
-                e, "already exists"
-            ):
-                self._fs(tmp).delete(tmp, False)  # lost the race: drop temp
-                return False
-            if not self._is_java(e, "UnsupportedFileSystemException"):
-                raise
-            # object-store path: stream straight into a no-overwrite create
-            fs = self._fs(dst)
-            fs.delete(tmp, False)
+        dst = self._path(path)
+        scheme = str(dst.toUri().getScheme())
+        if scheme not in self._fc_unsupported:
+            tmp, dst = self._write_tmp(path, text)
             try:
-                out = fs.create(dst, False)
-            except Exception as e2:
-                if self._is_java(e2, "FileAlreadyExistsException") or self._is_java(
-                    e2, "already exists"
+                rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(rename_cls, 1)
+                opts[0] = rename_cls.NONE
+                self._file_context().rename(tmp, dst, opts)
+                return True
+            except Exception as e:
+                try:  # drop the temp on EVERY failure path, then classify
+                    self._fs(tmp).delete(tmp, False)
+                except Exception:
+                    pass
+                if self._is_java(e, "FileAlreadyExistsException") or self._is_java(
+                    e, "already exists"
                 ):
-                    return False
-                raise
-            try:
-                out.write(bytearray(text.encode("utf-8")))
-            finally:
-                out.close()
-            return True
+                    return False  # lost the race
+                if not self._is_java(e, "UnsupportedFileSystemException"):
+                    raise
+                self._fc_unsupported.add(scheme)
+                import warnings
+
+                warnings.warn(
+                    f"create_exclusive on scheme {scheme!r} has no "
+                    f"FileContext binding; falling back to "
+                    f"FileSystem.create(overwrite=false). The put-if-absent "
+                    f"fence is only server-enforced where the store supports "
+                    f"conditional writes (e.g. S3A on Hadoop >= 3.4.1 "
+                    f"If-None-Match) — on older clients the check is "
+                    f"client-side and two racing committers may both "
+                    f"succeed.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        # object-store path: stream straight into a no-overwrite create
+        fs = self._fs(dst)
+        try:
+            out = fs.create(dst, False)
+        except Exception as e2:
+            if self._is_java(e2, "FileAlreadyExistsException") or self._is_java(
+                e2, "already exists"
+            ):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def list_names(self, path: str) -> list[str]:
         """[] when missing OR not a dir — Hadoop's listStatus on a FILE

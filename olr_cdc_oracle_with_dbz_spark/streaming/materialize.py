@@ -24,9 +24,16 @@ That makes the commit correct on stores WITHOUT atomic rename (the r12
 seam's own caveat, closed in r13): put-if-absent is the primitive object
 stores actually offer (S3 conditional PUT / If-None-Match, GCS
 if-generation-match), and the optimistic-concurrency fence becomes
-genuinely atomic — two writers deriving from parent sequence P both try
-to create record P+1 and exactly one wins; the loser raises and
-re-derives. The r12 protocol's check-then-swap near-miss window is gone.
+atomic wherever that primitive is real — two writers deriving from
+parent sequence P both try to create record P+1 and exactly one wins;
+the loser raises and re-derives. Qualification (ADVICE r13): on S3A
+clients older than Hadoop 3.4.1 the fs seam can only enforce
+no-overwrite client-side, so the fence is best-effort there and the
+seam warns once; with conditional writes (or HDFS/local rename) the r12
+check-then-swap near-miss window is gone. The log is BOUNDED: every
+``retain_commits``-th commit auto-vacuums old records (r14), so a
+months-running stream neither grows ``_commits/`` without limit nor
+pays an O(all-commits-ever) LIST per merge.
 (Pre-r13 tables with the old ``_CURRENT`` pointer + ``*.manifest.json``
 layout are read as commit 0 and migrate on their next commit.)
 
@@ -81,6 +88,10 @@ class ParquetUpsertTable:
     #: bucket count for NEW tables when the constructor doesn't pick one
     DEFAULT_BUCKETS = 16
 
+    #: commit records auto-retained (and the auto-vacuum cadence) when the
+    #: constructor doesn't pick one — see ``retain_commits`` below
+    DEFAULT_RETAIN_COMMITS = 32
+
     def __init__(
         self,
         spark: SparkSession,
@@ -89,6 +100,7 @@ class ParquetUpsertTable:
         extra_cols: tuple[str, ...] = (),
         n_buckets: int | None = None,
         fs=None,
+        retain_commits: int | None = None,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
@@ -112,11 +124,31 @@ class ParquetUpsertTable:
         when ``table_dir`` lives on shared storage (hdfs://, s3a://, ...)
         — the 100 TB deployment shape for the reference's R8 sink
         contract (/root/reference/README.md:840-842).
+
+        ``retain_commits``: commit-log retention window (r14, VERDICT r13
+        "what's missing" #3). Every commit appends one record and
+        ``_head()`` lists ``_commits/`` — without retention a
+        months-running stream accumulates an unbounded log dir and pays
+        an O(commits) LIST per merge (on S3 the slow, paginated op).
+        Every ``retain_commits``-th commit auto-vacuums down to the
+        newest ``retain_commits`` records, so the log dir (and therefore
+        every per-merge listing) is bounded by ~2x the window regardless
+        of stream lifetime, while ``read(version=...)`` time travel keeps
+        working across the retained window. 0 disables auto-retention
+        (manual ``vacuum()`` only). The reference's sink contract is the
+        model: the Postgres sink database keeps bounded durable state,
+        not every historical row version
+        (/root/reference/README.md:840-842).
         """
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
+        self.retain_commits = (
+            self.DEFAULT_RETAIN_COMMITS if retain_commits is None else retain_commits
+        )
+        if self.retain_commits < 0:
+            raise ValueError(f"retain_commits must be >= 0, got {retain_commits}")
         self.fs = fs if fs is not None else LocalFS()
         self.fs.mkdirs(table_dir)
         _seq, m = self._head()
@@ -152,11 +184,16 @@ class ParquetUpsertTable:
         return sorted(out)
 
     def _record(self, seq: int) -> dict | None:
-        """One commit record, or None when it can't be parsed. An
-        unparseable record only exists on a store where ``create_exclusive``
-        degrades to a non-atomic create (object store without conditional
-        writes) AND the writer died mid-upload — readers treat it as
-        not-committed and fall back to the previous record."""
+        """One commit record, or None when it can't be read or parsed.
+        None means either (a) a torn record — a store where
+        ``create_exclusive`` degrades to a non-atomic create AND the
+        writer died mid-upload — or (b) the record was deleted by a
+        concurrent vacuum between ``_commit_seqs``'s listing and this
+        read; both resolve by falling back to the previous record. The
+        fs seam normalizes missing-file errors to ``FileNotFoundError``
+        (an OSError) on BOTH impls — HadoopFS used to surface the raw
+        py4j ``Py4JJavaError`` here and crash the fallback (ADVICE r13).
+        """
         try:
             return json.loads(self.fs.read_text(self._commit_path(seq)))
         except (ValueError, OSError):
@@ -233,11 +270,24 @@ class ParquetUpsertTable:
         (the classic lost update, e.g. a compaction whose rewrite raced a
         micro-batch merge), so this raises instead. Unlike the r12
         pointer-swap fence there is NO check-then-act window: put-if-
-        absent makes exactly one deriver of any parent win, on every
-        store including non-atomic-rename object stores (Delta's
-        optimistic protocol, with the log store built in). Replays are
+        absent makes exactly one deriver of any parent win wherever the
+        store offers a real put-if-absent primitive: local/HDFS rename-
+        without-overwrite, and object stores WITH conditional writes (S3
+        If-None-Match via Hadoop >= 3.4.1 S3A, GCS
+        if-generation-match). On older S3A clients the fs seam's
+        fallback enforces no-overwrite CLIENT-side (HEAD-then-PUT) — a
+        narrow race window remains there and the seam warns once when
+        that path is taken (fs.py, ADVICE r13). Replays are
         unaffected: a replayed batch re-derives from the live head
         (possibly its own earlier commit) and appends a fresh record.
+
+        Auto-retention (r14): every ``retain_commits``-th successful
+        commit vacuums the log down to the newest ``retain_commits``
+        records, bounding ``_commits/`` (and the per-merge ``_head()``
+        listing) for arbitrarily long-running streams. Runs AFTER the
+        commit succeeds, on the committer's own sequence cadence, so
+        concurrent handles don't double-vacuum in lockstep and a fence
+        failure never triggers retention.
         """
         seq = expect_parent + 1
         record = json.dumps(
@@ -269,6 +319,8 @@ class ParquetUpsertTable:
                 f"{version} would drop that writer's rows — re-derive and "
                 f"retry"
             )
+        if self.retain_commits and seq % self.retain_commits == 0:
+            self.vacuum(keep=self.retain_commits)
         return seq
 
     # -- read side ---------------------------------------------------------
@@ -379,17 +431,53 @@ class ParquetUpsertTable:
         return list(seen)
 
     def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` commit records (never the
-        head), then garbage-collect data dirs no retained record
-        references. Returns the dropped records' version labels."""
+        """Drop all but the newest ``keep`` commit records — NEVER the
+        READABLE head — then garbage-collect data dirs that only the
+        dropped records referenced. Returns the dropped version labels.
+
+        Head protection (ADVICE r13): ``keep`` counts from the newest
+        SEQUENCE, but the newest sequences can be torn records (a writer
+        that died mid-create on a degraded store). The pre-r14 shape kept
+        ``seqs[-keep:]`` blindly — with a torn record on top,
+        ``vacuum(keep=1)`` retained only the zombie, the readable head
+        record was deleted, ``referenced`` collapsed to {} and the GC
+        loop dropped EVERY data dir: total table loss. Now the readable
+        head (``_head()``) and everything at/above its sequence are
+        unconditionally retained, whatever ``keep`` says.
+
+        Torn records BELOW the head are skipped, not deleted: under the
+        fence protocol head > s implies record s was readable when the
+        log advanced past it, so reading it torn means this vacuum raced
+        a concurrent reader-visible upload — deleting a record whose
+        fate is in flight is the one call this method must never make
+        (zombie recovery above the head stays manual, per ``_head``).
+
+        GC is TARGETED (r14): only version dirs the dropped records
+        referenced — minus those any surviving record still references —
+        are deleted. A dir referenced by NO record ever (an in-flight
+        writer's not-yet-committed version, or a crashed writer's
+        orphan) is left alone: auto-retention runs concurrently with
+        live writers, and deleting a dir mid-write would corrupt the
+        writer's pending commit. Orphan cleanup belongs to a separate
+        age-based sweep (Delta's posture: VACUUM uses a retention-hours
+        threshold for exactly this reason).
+        """
         seqs = self._commit_seqs()
         if not seqs:
             return []  # empty or legacy-pointer table: nothing to vacuum
-        victims = seqs[:-keep] if keep > 0 else seqs[:-1]
-        dropped = []
-        for s in victims:
+        head_seq, _head_m = self._head()
+        retained = set(seqs[-keep:]) if keep > 0 else set(seqs[-1:])
+        dropped: list[str] = []
+        dropped_dirs: set[str] = set()
+        for s in seqs:
+            if s >= head_seq or s in retained:
+                continue
             r = self._record(s)
-            dropped.append(r["version"] if r else f"c{s}")
+            if r is None:
+                continue  # in-flight upload racing this vacuum: hands off
+            dropped.append(r["version"])
+            for rel in r["buckets"].values():
+                dropped_dirs.add(rel.split("/", 1)[0])
             self.fs.delete(self._commit_path(s))
         referenced = set()
         for s in self._commit_seqs():
@@ -398,15 +486,14 @@ class ParquetUpsertTable:
                 continue
             for rel in r["buckets"].values():
                 referenced.add(rel.split("/", 1)[0])
+        for d in sorted(dropped_dirs - referenced):
+            self.fs.delete(os.path.join(self.table_dir, d))
         for d in self.fs.list_names(self.table_dir):
-            p = os.path.join(self.table_dir, d)
-            if d.startswith("v") and d not in referenced and self.fs.is_dir(p):
-                self.fs.delete(p)
-            elif d == _CURRENT or d.endswith(".manifest.json"):
+            if d == _CURRENT or d.endswith(".manifest.json"):
                 # superseded pre-r13 pointer layout: once the commit log
                 # exists it is the only source of truth, and a lingering
                 # pointer would mislead a legacy reader into stale state
-                self.fs.delete(p)
+                self.fs.delete(os.path.join(self.table_dir, d))
         # dedupe labels (replay records share one) preserving order
         out: dict[str, None] = {}
         for v in dropped:

@@ -1,0 +1,179 @@
+"""Commit-log retention (r14 — VERDICT r13 "what's missing" #3) and the
+vacuum head-protection fix (ADVICE r13, medium).
+
+The r13 protocol appends one immutable record to ``_commits/`` per commit
+and ``_head()`` lists the whole directory per merge. Unbounded, a
+months-running stream accumulates an ever-growing log dir and an
+O(commits) LIST per commit — on S3 the slow, paginated operation. r14
+bounds both: every ``retain_commits``-th commit auto-vacuums down to the
+newest ``retain_commits`` records (the Postgres sink analogy — the
+reference's durable shared state is bounded, /root/reference/README.md:
+840-842, not every historical row version).
+
+The medium ADVICE bug this file pins: pre-r14 ``vacuum(keep=1)`` retained
+``seqs[-1:]`` BLINDLY — with a torn record on top (the degraded-store
+scenario the protocol itself handles), the only retained record was the
+zombie, the readable head record was deleted, ``referenced`` collapsed to
+{} and the GC loop deleted every data dir: total table loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+from test_fs_seam import _frame
+
+_COMMITS = "_commits"
+
+
+def _log_names(table):
+    return table.fs.list_names(os.path.join(table.table_dir, _COMMITS))
+
+
+def test_vacuum_never_drops_readable_head_under_torn_top(spark, tmp_path):
+    """ADVICE r13 (medium): a torn record ABOVE the readable head must not
+    make vacuum(keep=1) delete the head record + GC every data dir."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    t.merge_batch(_frame(spark, [(1, "a", 100, False), (2, "b", 101, False)]), 1)
+    t.merge_batch(_frame(spark, [(3, "c", 102, False)]), 2)
+    head_seq, head_m = t._head()
+    assert head_seq == 2
+
+    # a writer died mid-create on a degraded store: seq 3 exists, torn
+    torn = t._commit_path(3)
+    fs.mkdirs(os.path.dirname(torn))
+    with open(torn, "w") as f:
+        f.write("{truncated")
+
+    dropped = t.vacuum(keep=1)
+    # the readable head record survives, whatever keep says...
+    assert t._head() == (head_seq, head_m)
+    assert t.current_version() == head_m["version"]
+    # ...and so does every data dir it references: the table still reads
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    # only the superseded readable record was dropped
+    assert dropped == ["v" + "0" * 19 + "1"]
+    # the zombie was NOT silently deleted (its writer's fate is unknown;
+    # recovery above the head stays the documented manual step)
+    assert fs.exists(torn)
+
+
+def test_vacuum_skips_torn_record_below_head(spark, tmp_path):
+    """A record that reads torn BELOW the head (a read racing an upload)
+    is skipped — neither deleted nor allowed to crash the sweep."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 4):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+    mid = t._commit_path(2)
+    with open(mid, "w") as f:
+        f.write("{torn")  # simulate reading mid-upload
+
+    dropped = t.vacuum(keep=1)
+    assert fs.exists(mid)  # hands off a record whose fate is in flight
+    assert dropped == ["v" + "0" * 19 + "1"]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_auto_retention_bounds_log_and_listing(spark, tmp_path):
+    """A several-hundred-commit table keeps ``_commits/`` (and therefore
+    the per-merge ``_head()`` listing) bounded by the retention window,
+    and GC drops data dirs only the vacuumed records referenced."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    retain = t.retain_commits
+    assert retain == ParquetUpsertTable.DEFAULT_RETAIN_COMMITS
+
+    # drive the COMMIT path directly (no Spark jobs): 300 synthetic
+    # commits, each referencing its own one-bucket data dir
+    n = 300
+    for i in range(1, n + 1):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+
+    names = _log_names(t)
+    # between auto-vacuums at most `retain` fresh records accumulate on
+    # top of the retained window — the bound is ~2x the window, NEVER n
+    assert len(names) <= 2 * retain
+    head_seq, head_m = t._head()
+    assert head_seq == n and head_m["version"] == f"v{n:020d}"
+
+    # data dirs: every dir a surviving record references exists; dirs
+    # referenced only by vacuumed records are gone
+    live = {
+        rel.rsplit("/", 1)[0]
+        for s in t._commit_seqs()
+        for rel in t._record(s)["buckets"].values()
+    }
+    for d in live:
+        assert fs.is_dir(os.path.join(tdir, d))
+    assert not fs.exists(os.path.join(tdir, f"v{1:020d}"))
+
+    # the bound holds for a REOPENED handle continuing the stream
+    t2 = ParquetUpsertTable(spark, tdir, key="id", fs=fs)
+    for i in range(n + 1, n + 80 + 1):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t2._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+    assert len(_log_names(t2)) <= 2 * retain
+
+
+def test_retention_respects_time_travel_for_retained_records(spark, tmp_path):
+    """Within the retention window ``versions()``/``read(v)`` keep working;
+    past it, time travel returns None instead of partial state."""
+    tdir = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=LocalFS(), retain_commits=4
+    )
+    labels = []
+    for i in range(1, 9):  # 8 merges, retention window 4
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+        labels.append(t.current_version())
+
+    retained = t.versions()
+    assert retained == labels[-4:]  # the newest window, oldest->newest
+    # time travel inside the window: version i holds rows 1..i
+    v6 = labels[5]
+    assert sorted(r["id"] for r in t.read(version=v6).collect()) == list(range(1, 7))
+    # past the window: a clean None, not partial state
+    assert t.read(version=labels[0]) is None
+    # head unaffected
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(1, 9))
+
+
+def test_auto_retention_disabled_keeps_every_record(spark, tmp_path):
+    """retain_commits=0 restores the manual-vacuum-only behavior."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=0
+    )
+    for i in range(1, 71):
+        t._commit(f"v{i:020d}", {}, expect_parent=i - 1)
+    assert len(_log_names(t)) == 70
+
+
+def test_vacuum_leaves_uncommitted_writer_dirs_alone(spark, tmp_path):
+    """Targeted GC (r14): a version dir no record references — an
+    in-flight writer mid-``merge_batch`` (data written, record not yet
+    created) or a crashed writer's orphan — is NOT deleted by vacuum;
+    deleting it could corrupt a commit in progress. Orphan cleanup is a
+    separate age-based concern (Delta's retention-hours posture)."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 4):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+    inflight = os.path.join(tdir, f"v{99:020d}", "pb=0")
+    fs.mkdirs(inflight)  # another writer's not-yet-committed version dir
+    t.vacuum(keep=1)
+    assert fs.is_dir(inflight)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]

@@ -92,6 +92,14 @@ def test_fs_contract_parity(spark, tmp_path):
         assert fs.read_text(rec) == "winner"
         assert fs.list_names(os.path.join(root, "_commits")) == ["c1.json"]
 
+        # read_text of a MISSING path raises the Python FileNotFoundError
+        # (an OSError) on BOTH impls — HadoopFS used to leak the raw py4j
+        # Py4JJavaError, so a commit record deleted by a concurrent vacuum
+        # between listing and read crashed _head()/versions() on HadoopFS
+        # while LocalFS fell back cleanly (ADVICE r13)
+        with pytest.raises(FileNotFoundError):
+            fs.read_text(os.path.join(root, "_commits", "missing.json"))
+
 
 def _frame(spark, rows):
     return spark.createDataFrame(
@@ -231,10 +239,27 @@ def test_hadoop_fs_unsupported_filesystem_fallbacks(spark, tmp_path):
     fs.write_text_atomic(ptr, "v2")  # overwrite through the fallback
     assert fs.read_text(ptr) == "v2"
 
+    # first fallback warns ONCE (ADVICE r13: the fence is only
+    # server-enforced with conditional writes — operators must see it)
     rec = os.path.join(str(tmp_path), "_commits", "c1.json")
-    assert fs.create_exclusive(rec, "winner") is True  # create(overwrite=F)
+    with pytest.warns(RuntimeWarning, match="server-enforced"):
+        assert fs.create_exclusive(rec, "winner") is True  # create(overwrite=F)
+    # the scheme is now cached as FileContext-unsupported: the loser call
+    # goes straight to create(overwrite=false) with NO temp upload — the
+    # pre-r14 shape paid every record's content write twice (ADVICE r13)
+    def no_tmp(path, text):
+        raise AssertionError("cached-unsupported scheme still wrote a temp")
+
+    real_write_tmp = fs._write_tmp
+    fs._write_tmp = no_tmp
     assert fs.create_exclusive(rec, "loser") is False
     assert fs.read_text(rec) == "winner"
+    fs._write_tmp = real_write_tmp
+    # no temp-file litter from the fallback paths (ADVICE r13 leak)
+    assert not [
+        n for n in os.listdir(os.path.join(str(tmp_path), "_commits"))
+        if n.endswith(".tmp")
+    ]
 
     # any OTHER FileContext failure still propagates (no silent fallback)
     def other():
@@ -243,3 +268,16 @@ def test_hadoop_fs_unsupported_filesystem_fallbacks(spark, tmp_path):
     fs._file_context = other
     with pytest.raises(RuntimeError, match="unrelated"):
         fs.write_text_atomic(ptr, "v3")
+
+    # ...and on create_exclusive it ALSO cleans its temp up before
+    # re-raising (ADVICE r13: the re-raise path used to leak it)
+    fs2 = HadoopFS(spark)
+    fs2._file_context = other
+    rec2 = os.path.join(str(tmp_path), "_commits", "c2.json")
+    with pytest.raises(RuntimeError, match="unrelated"):
+        fs2.create_exclusive(rec2, "x")
+    assert not fs2.exists(rec2)
+    assert not [
+        n for n in os.listdir(os.path.join(str(tmp_path), "_commits"))
+        if n.endswith(".tmp")
+    ]

@@ -346,7 +346,16 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         rng = random.Random(seed)
         fs = ObjectStoreFS()
         tdir = str(tmp_path / f"tbl{seed}")
-        t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+        # r14: random retention cadence — auto-vacuum interleaving with
+        # merge/replay/compact/manual-vacuum must never change head state
+        t = ParquetUpsertTable(
+            spark,
+            tdir,
+            key="id",
+            n_buckets=4,
+            fs=fs,
+            retain_commits=rng.choice([2, 32]),
+        )
         model: dict[int, tuple[int, str, bool]] = {}  # id -> (scn, name, del)
         scn = 100
         last_batch = None
