@@ -261,6 +261,10 @@ class HadoopFS:
             self._file_context().rename(tmp, dst, opts)
         except Exception as e:
             if not self._is_java(e, "UnsupportedFileSystemException"):
+                try:  # same no-temp-litter rule as create_exclusive
+                    self._fs(tmp).delete(tmp, False)
+                except Exception:
+                    pass
                 raise
             fs = self._fs(dst)
             if fs.exists(dst):

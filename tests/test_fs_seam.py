@@ -268,6 +268,10 @@ def test_hadoop_fs_unsupported_filesystem_fallbacks(spark, tmp_path):
     fs._file_context = other
     with pytest.raises(RuntimeError, match="unrelated"):
         fs.write_text_atomic(ptr, "v3")
+    # the failed write's temp is cleaned before the re-raise too
+    assert not [
+        n for n in os.listdir(str(tmp_path)) if n.endswith(".tmp")
+    ]
 
     # ...and on create_exclusive it ALSO cleans its temp up before
     # re-raising (ADVICE r13: the re-raise path used to leak it)
