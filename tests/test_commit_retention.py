@@ -161,6 +161,49 @@ def test_auto_retention_disabled_keeps_every_record(spark, tmp_path):
     assert len(_log_names(t)) == 70
 
 
+class _VacuumRaceFS(LocalFS):
+    """LocalFS that simulates a CONCURRENT vacuum: the first read of one
+    chosen commit record deletes it and raises FileNotFoundError — exactly
+    what a reader sees when another handle's vacuum wins the race between
+    ``_commit_seqs``'s listing and ``_record``'s read (ADVICE r13: HadoopFS
+    used to surface this as a raw py4j error and crash the fallback)."""
+
+    def __init__(self, race_path: str):
+        self.race_path = race_path
+        self.fired = False
+
+    def read_text(self, path: str) -> str:
+        if path == self.race_path and not self.fired:
+            self.fired = True
+            os.remove(path)
+            raise FileNotFoundError(path)
+        return super().read_text(path)
+
+
+def test_reads_survive_concurrent_vacuum_race(spark, tmp_path):
+    """versions()/read()/head resolution fall back cleanly when a commit
+    record vanishes between the log listing and its read."""
+    tdir = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=LocalFS())
+    for i in range(1, 4):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+
+    # reader whose next read of record 1 races a concurrent vacuum
+    race = _VacuumRaceFS(t._commit_path(1))
+    r = ParquetUpsertTable(spark, tdir, key="id", fs=race)
+    vs = r.versions()  # hits the race on record 1, must not crash
+    assert race.fired
+    assert vs == ["v" + "0" * 19 + "2", "v" + "0" * 19 + "3"]
+    assert sorted(row["id"] for row in r.read().collect()) == [1, 2, 3]
+
+    # same race on the HEAD record: _head falls back to the previous one
+    race2 = _VacuumRaceFS(t._commit_path(3))
+    r2 = ParquetUpsertTable(spark, tdir, key="id", fs=race2)
+    seq, m = r2._head()
+    assert race2.fired and seq == 2  # record 3 raced away -> head is 2
+    assert m["version"] == "v" + "0" * 19 + "2"
+
+
 def test_vacuum_leaves_uncommitted_writer_dirs_alone(spark, tmp_path):
     """Targeted GC (r14): a version dir no record references — an
     in-flight writer mid-``merge_batch`` (data written, record not yet
