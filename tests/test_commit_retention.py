@@ -161,7 +161,35 @@ def test_auto_retention_disabled_keeps_every_record(spark, tmp_path):
     assert len(_log_names(t)) == 70
 
 
-class _VacuumRaceFS(LocalFS):
+def test_many_merges_with_retention_state_and_window(spark, tmp_path):
+    """40 real merges (inserts/updates/deletes) through retain_commits=8:
+    final state exact, log bounded, every retained version readable."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=8
+    )
+    model: dict[int, tuple[str, int, bool]] = {}
+    scn = 1000
+    for i in range(1, 41):
+        k = i % 7  # 7 keys, repeatedly updated
+        deleted = i % 5 == 0
+        scn += 1
+        model[k] = (f"n{scn}", scn, deleted)
+        t.merge_batch(_frame(spark, [(k, f"n{scn}", scn, deleted)]), i)
+
+    expect = sorted(
+        (k, name, s) for k, (name, s, d) in model.items() if not d
+    )
+    got = sorted(
+        (r["id"], r["name"], r["_scn"]) for r in t.read().collect()
+    )
+    assert got == expect
+    assert len(_log_names(t)) <= 16  # 2x the window, never 40
+    vs = t.versions()
+    assert vs[-1] == t.current_version()
+    for v in vs:  # every retained version time-travels to a readable frame
+        assert t.read(version=v) is not None
     """LocalFS that simulates a CONCURRENT vacuum: the first read of one
     chosen commit record deletes it and raises FileNotFoundError — exactly
     what a reader sees when another handle's vacuum wins the race between
