@@ -190,6 +190,9 @@ def test_many_merges_with_retention_state_and_window(spark, tmp_path):
     assert vs[-1] == t.current_version()
     for v in vs:  # every retained version time-travels to a readable frame
         assert t.read(version=v) is not None
+
+
+class _VacuumRaceFS(LocalFS):
     """LocalFS that simulates a CONCURRENT vacuum: the first read of one
     chosen commit record deletes it and raises FileNotFoundError — exactly
     what a reader sees when another handle's vacuum wins the race between
