@@ -139,6 +139,12 @@ class LocalFS:
         except OSError:
             pass
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time of ``path`` in seconds since the epoch
+        (the age signal for orphan cleanup — see
+        ``ParquetUpsertTable.vacuum_orphans``)."""
+        return os.path.getmtime(path)
+
     def parquet_rows(self, path: str) -> int:
         """Total row count under ``path`` from parquet FOOTERS only — no
         Spark jobs, no data pages (the spool's incremental-counter seed)."""
@@ -368,6 +374,11 @@ class HadoopFS:
                 fs.delete(p, True)
         except Exception:
             pass
+
+    def mtime(self, path: str) -> float:
+        """Last-modification time in epoch seconds (Hadoop reports millis)."""
+        p = self._path(path)
+        return self._fs(p).getFileStatus(p).getModificationTime() / 1000.0
 
     def parquet_rows(self, path: str) -> int:
         """Footer-only row count via parquet-hadoop (no jobs, no data pages)

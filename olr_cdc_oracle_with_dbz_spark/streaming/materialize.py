@@ -458,9 +458,9 @@ class ParquetUpsertTable:
         writer's not-yet-committed version, or a crashed writer's
         orphan) is left alone: auto-retention runs concurrently with
         live writers, and deleting a dir mid-write would corrupt the
-        writer's pending commit. Orphan cleanup belongs to a separate
-        age-based sweep (Delta's posture: VACUUM uses a retention-hours
-        threshold for exactly this reason).
+        writer's pending commit. Orphan cleanup is the separate age-based
+        sweep :meth:`vacuum_orphans` (Delta's posture: VACUUM uses a
+        retention-hours threshold for exactly this reason).
         """
         seqs = self._commit_seqs()
         if not seqs:
@@ -499,6 +499,49 @@ class ParquetUpsertTable:
         for v in dropped:
             out.setdefault(v, None)
         return list(out)
+
+    def vacuum_orphans(self, older_than_sec: float = 7 * 24 * 3600) -> list[str]:
+        """Age-based cleanup of ORPHAN version dirs — dirs under the table
+        root that no commit record references (a writer that crashed
+        between its data write and its commit, or an abandoned
+        fence-failure retry). The regular :meth:`vacuum` deliberately
+        never touches them (r14): a dir with no record yet may be an
+        IN-FLIGHT writer's pending commit, and deleting it mid-write
+        would corrupt that commit. Age is the disambiguator — Delta's
+        VACUUM takes exactly this posture with its retention-hours
+        threshold: a dir older than any conceivable running write job is
+        garbage, a young one is hands-off.
+
+        ``older_than_sec`` must comfortably exceed the longest write job
+        + clock skew on shared storage (the 7-day default mirrors
+        Delta's). Returns the deleted dir names. Run it as scheduled
+        maintenance alongside :meth:`compact`, not per-batch.
+        """
+        import time
+
+        referenced = set()
+        for s in self._commit_seqs():
+            r = self._record(s)
+            if r is None:
+                continue
+            for rel in r["buckets"].values():
+                referenced.add(rel.split("/", 1)[0])
+        cutoff = time.time() - older_than_sec
+        dropped = []
+        for d in self.fs.list_names(self.table_dir):
+            if not d.startswith("v") or d in referenced:
+                continue
+            p = os.path.join(self.table_dir, d)
+            if not self.fs.is_dir(p):
+                continue
+            try:
+                if self.fs.mtime(p) > cutoff:
+                    continue  # young enough to be an in-flight write
+            except OSError:
+                continue  # vanished between listing and stat: not ours
+            self.fs.delete(p)
+            dropped.append(d)
+        return dropped
 
     # -- write side --------------------------------------------------------
     def _bucket_col(self, n_buckets: int | None = None):

@@ -251,3 +251,33 @@ def test_vacuum_leaves_uncommitted_writer_dirs_alone(spark, tmp_path):
     t.vacuum(keep=1)
     assert fs.is_dir(inflight)
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_vacuum_orphans_is_age_gated(spark, tmp_path):
+    """The age-based orphan sweep deletes only OLD never-referenced dirs:
+    a young orphan (possibly an in-flight write) and every referenced dir
+    — however old — survive."""
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 3):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+
+    old_orphan = os.path.join(tdir, f"v{98:020d}")
+    young_orphan = os.path.join(tdir, f"v{99:020d}")
+    fs.mkdirs(os.path.join(old_orphan, "pb=0"))
+    fs.mkdirs(os.path.join(young_orphan, "pb=0"))
+    week_ago = time.time() - 8 * 24 * 3600
+    os.utime(old_orphan, (week_ago, week_ago))
+    # age a REFERENCED dir too: age alone must never make it a victim
+    ref_dir = os.path.join(tdir, "v" + "0" * 19 + "1")
+    os.utime(ref_dir, (week_ago, week_ago))
+
+    dropped = t.vacuum_orphans(older_than_sec=7 * 24 * 3600)
+    assert dropped == [f"v{98:020d}"]
+    assert not fs.exists(old_orphan)
+    assert fs.is_dir(young_orphan)  # young: hands off
+    assert fs.is_dir(ref_dir)  # referenced: hands off at any age
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]

@@ -92,6 +92,13 @@ def test_fs_contract_parity(spark, tmp_path):
         assert fs.read_text(rec) == "winner"
         assert fs.list_names(os.path.join(root, "_commits")) == ["c1.json"]
 
+        # mtime: epoch seconds on both impls, sane and recent for a file
+        # we just wrote (the age signal vacuum_orphans keys on)
+        import time
+
+        age = time.time() - fs.mtime(rec)
+        assert -5 < age < 3600
+
         # read_text of a MISSING path raises the Python FileNotFoundError
         # (an OSError) on BOTH impls — HadoopFS used to leak the raw py4j
         # Py4JJavaError, so a commit record deleted by a concurrent vacuum
