@@ -1,0 +1,128 @@
+"""Property-based check of the commit-log metadata invariants (r14).
+
+The r14 vacuum/retention logic is pure driver-side metadata — no Spark
+jobs — so hypothesis can grind hundreds of random op sequences
+(commit / torn-commit / vacuum / zombie-recovery) against a plain-Python
+model in seconds. The invariants it pins are exactly the ones whose
+violation is catastrophic and silent:
+
+1. the readable head is ALWAYS the highest readable record (torn records
+   above it never become state, vacuum never deletes it);
+2. every data dir referenced by any surviving record exists on disk —
+   GC can never strand a manifest (the ADVICE r13 total-table-loss bug
+   class);
+3. ``versions()`` equals the model's readable labels in commit order;
+4. a writer deriving from a head under a torn top is fenced (raises),
+   and committing works again after zombie recovery.
+
+Commit manifests deliberately inherit buckets from the previous head so
+records cross-reference OLDER version dirs — the layout shape real
+micro-batch merges produce and the reason vacuum's ``referenced`` set
+must be computed from survivors, not assumed per-record.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
+
+_OPS = st.lists(
+    st.one_of(
+        st.just(("commit",)),
+        st.just(("torn",)),
+        st.just(("recover",)),
+        st.tuples(st.just("vacuum"), st.integers(min_value=0, max_value=5)),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _new_table(root: str) -> ParquetUpsertTable:
+    # spark is only stored by the constructor; every op here is metadata
+    return ParquetUpsertTable(
+        None, root, key="id", n_buckets=4, fs=LocalFS(), retain_commits=0
+    )
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_log_invariants_under_random_ops(tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("log"))
+    t = _new_table(root)
+    fs = t.fs
+    # model: seq -> label for readable records, None for torn ones
+    model: dict[int, str | None] = {}
+
+    def model_head() -> int:
+        readable = [s for s, lab in model.items() if lab is not None]
+        return max(readable) if readable else 0
+
+    def check_invariants():
+        head_seq, head_m = t._head()
+        assert head_seq == model_head()
+        if head_seq:
+            assert head_m["version"] == model[head_seq]
+        # every surviving record's referenced dirs exist on disk
+        for s in t._commit_seqs():
+            r = t._record(s)
+            if r is None:
+                continue
+            for rel in r["buckets"].values():
+                assert fs.is_dir(os.path.join(root, rel.split("/", 1)[0]))
+        # versions() == readable labels in commit order, deduped
+        want: dict[str, None] = {}
+        for s in sorted(model):
+            if model[s] is not None:
+                want.setdefault(model[s], None)
+        assert t.versions() == list(want)
+
+    for op in ops:
+        if op[0] == "commit":
+            parent, m = t._head()
+            seq = parent + 1
+            label = f"v{seq:020d}"
+            buckets = dict(m["buckets"]) if m else {}
+            buckets[str(seq % 4)] = f"{label}/pb={seq % 4}"
+            fs.mkdirs(os.path.join(root, label, f"pb={seq % 4}"))
+            if seq in model:  # torn record occupies the fence slot
+                with pytest.raises(RuntimeError, match="concurrent writer"):
+                    t._commit(label, buckets, expect_parent=parent)
+            else:
+                assert t._commit(label, buckets, expect_parent=parent) == seq
+                model[seq] = label
+        elif op[0] == "torn":
+            seq = (max(model) if model else 0) + 1
+            path = t._commit_path(seq)
+            fs.mkdirs(os.path.dirname(path))
+            with open(path, "w") as f:
+                f.write("{torn")
+            model[seq] = None
+        elif op[0] == "recover":
+            if model and model[max(model)] is None:
+                seq = max(model)
+                fs.delete(t._commit_path(seq))
+                del model[seq]
+        else:  # vacuum
+            keep = op[1]
+            head_before = model_head()
+            t.vacuum(keep=keep)
+            # model the deletion rule: readable victims strictly below the
+            # head and outside the newest-keep tail are dropped
+            seqs = sorted(model)
+            retained = set(seqs[-keep:]) if keep > 0 else set(seqs[-1:])
+            for s in seqs:
+                if s < head_before and s not in retained and model[s] is not None:
+                    del model[s]
+            assert model_head() == head_before  # the head never moves
+        check_invariants()
