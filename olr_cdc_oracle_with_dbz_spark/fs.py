@@ -242,10 +242,58 @@ class HadoopFS:
         return self._fc
 
     @staticmethod
-    def _is_java(err: Exception, needle: str) -> bool:
+    def _java_classes(err: Exception) -> list[str]:
+        """Fully-qualified class names of a py4j-raised Java exception and
+        its cause chain (bounded), ``[]`` for non-py4j errors. Classifying
+        on the CLASS, not on ``str(err)``, matters: the py4j string embeds
+        the whole Java stack trace, so substring checks can match phrases
+        from an UNRELATED frame (ADVICE r14 — e.g. a lease error whose
+        trace mentions another path 'already exists' must not be read as
+        a lost put-if-absent race)."""
+        names: list[str] = []
+        je = getattr(err, "java_exception", None)
+        for _ in range(8):  # bounded cause-chain walk
+            if je is None:
+                break
+            try:
+                names.append(str(je.getClass().getName()))
+                je = je.getCause()
+            except Exception:
+                break
+        return names
+
+    @classmethod
+    def _is_java(cls, err: Exception, needle: str) -> bool:
         """True when a py4j-raised Java exception's class chain names
-        ``needle`` (e.g. 'UnsupportedFileSystemException')."""
+        ``needle`` (e.g. 'UnsupportedFileSystemException'). Falls back to
+        a string match only for non-py4j errors (where no class chain is
+        available)."""
+        names = cls._java_classes(err)
+        if names:
+            return any(needle in n for n in names)
         return needle in str(err)
+
+    @classmethod
+    def _is_lost_race(cls, err: Exception) -> bool:
+        """True iff ``err`` means the put-if-absent destination already
+        exists — a LOST RACE, the one failure :meth:`create_exclusive`
+        maps to ``False``. Matches the Java exception class chain
+        (``org.apache.hadoop.fs.FileAlreadyExistsException``,
+        ``java.nio.file.FileAlreadyExistsException``,
+        ``o.a.h.fs.PathExistsException``); the 'already exists' substring
+        is consulted only for non-py4j errors, so an unrelated Java fault
+        whose stack trace happens to contain the phrase re-raises instead
+        of being silently converted into a misleading 'concurrent writer'
+        report (ADVICE r14)."""
+        names = cls._java_classes(err)
+        if names:
+            return any(
+                n.endswith("FileAlreadyExistsException")
+                or n.endswith("PathExistsException")
+                for n in names
+            )
+        s = str(err)
+        return "FileAlreadyExistsException" in s or "already exists" in s
 
     def write_text_atomic(self, path: str, text: str) -> None:
         """Write-temp + ``FileContext.rename(OVERWRITE)`` — atomic on HDFS
@@ -317,9 +365,7 @@ class HadoopFS:
                     self._fs(tmp).delete(tmp, False)
                 except Exception:
                     pass
-                if self._is_java(e, "FileAlreadyExistsException") or self._is_java(
-                    e, "already exists"
-                ):
+                if self._is_lost_race(e):
                     return False  # lost the race
                 if not self._is_java(e, "UnsupportedFileSystemException"):
                     raise
@@ -343,9 +389,7 @@ class HadoopFS:
         try:
             out = fs.create(dst, False)
         except Exception as e2:
-            if self._is_java(e2, "FileAlreadyExistsException") or self._is_java(
-                e2, "already exists"
-            ):
+            if self._is_lost_race(e2):
                 return False
             raise
         try:

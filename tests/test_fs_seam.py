@@ -292,3 +292,72 @@ def test_hadoop_fs_unsupported_filesystem_fallbacks(spark, tmp_path):
         n for n in os.listdir(os.path.join(str(tmp_path), "_commits"))
         if n.endswith(".tmp")
     ]
+
+
+class _FakeJavaErr(Exception):
+    """Minimal stand-in for py4j's Py4JJavaError: carries a
+    ``java_exception`` whose getClass().getName()/getCause() walk the
+    given class-name chain."""
+
+    def __init__(self, msg, class_chain):
+        super().__init__(msg)
+
+        def node(i):
+            if i >= len(class_chain):
+                return None
+
+            class _J:
+                def getClass(self):
+                    class _C:
+                        def getName(self_c):
+                            return class_chain[i]
+
+                    return _C()
+
+                def getCause(self):
+                    return node(i + 1)
+
+                def getMessage(self):
+                    return msg
+
+            return _J()
+
+        self.java_exception = node(0)
+
+
+def test_lost_race_classified_by_java_class_not_message():
+    """ADVICE r14: create_exclusive used to substring-match str(err) for
+    'already exists', so ANY Java fault whose stack trace contained the
+    phrase (e.g. a lease error wrapping another path's state) was
+    silently converted into a 'concurrent writer' RuntimeError, hiding
+    the real fault. Classification now keys on the exception CLASS chain;
+    the substring is consulted only for non-py4j errors."""
+    # real lost races, by class — direct and wrapped as a cause
+    for chain in (
+        ["org.apache.hadoop.fs.FileAlreadyExistsException"],
+        ["java.nio.file.FileAlreadyExistsException"],
+        ["org.apache.hadoop.fs.PathExistsException"],
+        ["java.io.IOException", "org.apache.hadoop.fs.FileAlreadyExistsException"],
+    ):
+        assert HadoopFS._is_lost_race(_FakeJavaErr("rename failed", chain))
+
+    # a java fault that merely MENTIONS the phrase is NOT a lost race
+    misleading = _FakeJavaErr(
+        "lease on /other/path already exists (held by node-7)",
+        ["org.apache.hadoop.ipc.RemoteException"],
+    )
+    assert not HadoopFS._is_lost_race(misleading)
+
+    # non-py4j errors (no class chain) keep the conservative string match
+    assert HadoopFS._is_lost_race(RuntimeError("destination already exists"))
+    assert not HadoopFS._is_lost_race(RuntimeError("disk quota exceeded"))
+
+    # _is_java keeps serving the UnsupportedFileSystemException dispatch
+    assert HadoopFS._is_java(
+        _FakeJavaErr("x", ["org.apache.hadoop.fs.UnsupportedFileSystemException"]),
+        "UnsupportedFileSystemException",
+    )
+    assert HadoopFS._is_java(
+        RuntimeError("org.apache.hadoop.fs.UnsupportedFileSystemException: y"),
+        "UnsupportedFileSystemException",
+    )
