@@ -420,9 +420,19 @@ class HadoopFS:
             pass
 
     def mtime(self, path: str) -> float:
-        """Last-modification time in epoch seconds (Hadoop reports millis)."""
+        """Last-modification time in epoch seconds (Hadoop reports millis).
+        Missing paths raise ``FileNotFoundError`` — the same OSError
+        LocalFS raises — so callers' vanished-between-list-and-stat
+        handling behaves identically on both impls (seam-parity rule,
+        ADVICE r13)."""
         p = self._path(path)
-        return self._fs(p).getFileStatus(p).getModificationTime() / 1000.0
+        fs = self._fs(p)
+        try:
+            return fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception as e:
+            if self._is_java(e, "FileNotFoundException"):
+                raise FileNotFoundError(path) from e
+            raise
 
     def parquet_rows(self, path: str) -> int:
         """Footer-only row count via parquet-hadoop (no jobs, no data pages)

@@ -30,7 +30,14 @@ _COMMITS = "_commits"
 
 
 def _log_names(table):
-    return table.fs.list_names(os.path.join(table.table_dir, _COMMITS))
+    """Commit RECORD filenames in the log dir. The dir also holds the
+    ``f<seq>.floor`` fence marker (r15) — one at rest, never per-commit —
+    which the record-count bounds exclude."""
+    return [
+        n
+        for n in table.fs.list_names(os.path.join(table.table_dir, _COMMITS))
+        if n.startswith("c") and n.endswith(".json")
+    ]
 
 
 def test_vacuum_never_drops_readable_head_under_torn_top(spark, tmp_path):
@@ -255,8 +262,10 @@ def test_vacuum_leaves_uncommitted_writer_dirs_alone(spark, tmp_path):
 
 def test_vacuum_orphans_is_age_gated(spark, tmp_path):
     """The age-based orphan sweep deletes only OLD never-referenced dirs:
-    a young orphan (possibly an in-flight write) and every referenced dir
-    — however old — survive."""
+    a young orphan (possibly an in-flight write), a STALE-topped orphan
+    whose children show fresh activity (a long-running writer — the dir
+    mtime reflects write START, ADVICE r14), and every referenced dir —
+    however old — survive."""
     import time
 
     tdir = str(tmp_path / "tbl")
@@ -267,10 +276,18 @@ def test_vacuum_orphans_is_age_gated(spark, tmp_path):
 
     old_orphan = os.path.join(tdir, f"v{98:020d}")
     young_orphan = os.path.join(tdir, f"v{99:020d}")
+    active_orphan = os.path.join(tdir, f"v{97:020d}")
     fs.mkdirs(os.path.join(old_orphan, "pb=0"))
     fs.mkdirs(os.path.join(young_orphan, "pb=0"))
+    fs.mkdirs(os.path.join(active_orphan, "pb=0"))
     week_ago = time.time() - 8 * 24 * 3600
+    # genuinely dead: top AND children untouched for a week
     os.utime(old_orphan, (week_ago, week_ago))
+    os.utime(os.path.join(old_orphan, "pb=0"), (week_ago, week_ago))
+    # long-running writer: dir created a week ago (mkdir set the top
+    # mtime and nothing refreshes it) but a child shows fresh activity —
+    # the age signal must be the child max, not the top (ADVICE r14)
+    os.utime(active_orphan, (week_ago, week_ago))
     # age a REFERENCED dir too: age alone must never make it a victim
     ref_dir = os.path.join(tdir, "v" + "0" * 19 + "1")
     os.utime(ref_dir, (week_ago, week_ago))
@@ -279,5 +296,156 @@ def test_vacuum_orphans_is_age_gated(spark, tmp_path):
     assert dropped == [f"v{98:020d}"]
     assert not fs.exists(old_orphan)
     assert fs.is_dir(young_orphan)  # young: hands off
+    assert fs.is_dir(active_orphan)  # stale top, fresh child: hands off
     assert fs.is_dir(ref_dir)  # referenced: hands off at any age
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_stale_writer_cannot_win_vacated_slot(spark, tmp_path):
+    """ADVICE r14 (medium): auto-retention DELETES old commit records,
+    which re-opens their put-if-absent slots. A writer whose
+    derive-to-commit window outlived the retention window (a long
+    compact(), a stale merge_batch handle racing a busy stream) would —
+    pre-r15 — win create_exclusive at a below-head slot and return as if
+    committed while the head never includes its rows: a silent lost
+    update. The persisted vacuum floor must convert that into a raise."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=4
+    )
+    for i in range(1, 13):  # auto-vacuum at 4, 8, 12 -> floor reaches 8
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+    head_before = t._head()
+    assert t._floor() == 8
+
+    # stale writer: derived from commit 2 long ago; slot 3 is VACATED, so
+    # create_exclusive alone would succeed — the floor must raise first
+    import pytest
+
+    with pytest.raises(RuntimeError, match="stale writer"):
+        t._commit("v_stale", {"0": "v_stale/pb=0"}, expect_parent=2)
+    # no counterfeit record was left at the vacated slot
+    assert not fs.exists(t._commit_path(3))
+    # the head (and therefore every reader) is unaffected
+    assert t._head() == head_before
+
+    # a FRESH derive commits fine: the fence only blocks vacated slots
+    label = f"v{13:020d}"
+    fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+    assert t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=12) == 13
+
+    # the floor is durable table state, not handle state: a reopened
+    # handle enforces it identically
+    t2 = ParquetUpsertTable(spark, tdir, key="id", fs=fs)
+    with pytest.raises(RuntimeError, match="stale writer"):
+        t2._commit("v_stale2", {"0": "v_stale2/pb=0"}, expect_parent=4)
+    assert not fs.exists(t2._commit_path(5))
+
+
+class _VacuumBetweenCheckAndCreateFS(LocalFS):
+    """Simulates the narrowest interleave: a concurrent stream advances
+    the head AND retention vacuums the writer's slot AFTER the writer's
+    floor pre-check but BEFORE its create_exclusive lands."""
+
+    def __init__(self):
+        self.table = None
+        self.armed_path = None
+        self.fired = False
+
+    def create_exclusive(self, path, text):
+        if path == self.armed_path and not self.fired:
+            self.fired = True
+            t = self.table
+            for i in (6, 7, 8):  # the busy stream races ahead...
+                label = f"v{i:020d}"
+                self.mkdirs(os.path.join(t.table_dir, label, "pb=0"))
+                t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+            t.vacuum(keep=1)  # ...and retention vacates slots < 8
+        return super().create_exclusive(path, text)
+
+
+def test_vacuum_between_floor_precheck_and_create_is_fenced(spark, tmp_path):
+    """The authoritative POST-win floor check (ADVICE r14): the floor is
+    published before any deletion, so a writer that passed the pre-check
+    and then won a slot a concurrent vacuum vacated must observe the
+    raised floor, withdraw its record, and raise."""
+    import pytest
+
+    tdir = str(tmp_path / "tbl")
+    fs = _VacuumBetweenCheckAndCreateFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=0
+    )
+    fs.table = t
+    for i in range(1, 6):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+
+    # writer derives from the live head (5) -> seq 6; between its floor
+    # pre-check and its create, the stream commits 6..8 and vacuum runs
+    fs.armed_path = t._commit_path(6)
+    with pytest.raises(RuntimeError, match="stale writer"):
+        t._commit("v_racer", {"0": "v_racer/pb=0"}, expect_parent=5)
+    assert fs.fired
+    # the counterfeit record was withdrawn; the true head stands
+    assert not fs.exists(t._commit_path(6))
+    head_seq, head_m = t._head()
+    assert head_seq == 8 and head_m["version"] == f"v{8:020d}"
+
+
+def test_torn_records_below_head_reclaimed_by_aged_sweep(spark, tmp_path):
+    """r15 (VERDICT r14 missing #3): vacuum() skips torn records below
+    the head — correct, their fate may be in flight — but on a degraded
+    store that repeatedly tears records the log bound would otherwise
+    grow by the accumulated residue forever. vacuum_orphans reclaims a
+    below-head record that STILL reads torn past the age threshold, and
+    fences the re-opened slot through the vacuum floor."""
+    import time
+
+    import pytest
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 6):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+
+    # a degraded store tore records 2 and 3 (writers died mid-upload)
+    for s in (2, 3):
+        with open(t._commit_path(s), "w") as f:
+            f.write("{torn")
+
+    t.vacuum(keep=1)  # drops readable 1 and 4; skips the torn residue
+    assert sorted(_log_names(t)) == [f"c{s:020d}.json" for s in (2, 3, 5)]
+
+    # young torn records survive the sweep: may be uploads in flight
+    assert t.vacuum_orphans(older_than_sec=3600) == []
+    assert fs.exists(t._commit_path(2)) and fs.exists(t._commit_path(3))
+
+    # aged past the threshold they are permanently dead: reclaimed
+    week_ago = time.time() - 8 * 24 * 3600
+    for s in (2, 3):
+        os.utime(t._commit_path(s), (week_ago, week_ago))
+    dropped = t.vacuum_orphans(older_than_sec=7 * 24 * 3600)
+    assert dropped == [f"c{s:020d}.json" for s in (2, 3)]
+    # the log bound is restored to the retained window...
+    assert _log_names(t) == [f"c{5:020d}.json"]
+    # ...the table still reads exactly its head state...
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
+    # ...and the re-opened slots are fenced against stale writers
+    assert t._floor() >= 3
+    with pytest.raises(RuntimeError, match="stale writer"):
+        t._commit("v_stale", {"0": "v_stale/pb=0"}, expect_parent=1)
+    assert not fs.exists(t._commit_path(2))
+
+    # a torn record AT/ABOVE the head is never swept: zombie recovery
+    # above the head stays the documented manual step (_head contract)
+    with open(t._commit_path(6), "w") as f:
+        f.write("{torn")
+    os.utime(t._commit_path(6), (week_ago, week_ago))
+    assert t.vacuum_orphans(older_than_sec=7 * 24 * 3600) == []
+    assert fs.exists(t._commit_path(6))

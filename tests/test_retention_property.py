@@ -38,6 +38,8 @@ _OPS = st.lists(
         st.just(("torn",)),
         st.just(("recover",)),
         st.tuples(st.just("vacuum"), st.integers(min_value=0, max_value=5)),
+        st.just(("sweep",)),  # r15: aged torn-below-head reclamation
+        st.just(("stale",)),  # r15: writer at a vacated slot must be fenced
     ),
     min_size=1,
     max_size=14,
@@ -63,6 +65,8 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
     fs = t.fs
     # model: seq -> label for readable records, None for torn ones
     model: dict[int, str | None] = {}
+    # model of the vacated-slot floor: highest seq any vacuum/sweep deleted
+    floor = 0
 
     def model_head() -> int:
         readable = [s for s, lab in model.items() if lab is not None]
@@ -73,6 +77,9 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
         assert head_seq == model_head()
         if head_seq:
             assert head_m["version"] == model[head_seq]
+        # the published floor covers every slot ever vacated (>= because
+        # a vacuum may batch-publish above the model's incremental max)
+        assert t._floor() >= floor
         # every surviving record's referenced dirs exist on disk
         for s in t._commit_seqs():
             r = t._record(s)
@@ -113,6 +120,29 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
                 seq = max(model)
                 fs.delete(t._commit_path(seq))
                 del model[seq]
+        elif op[0] == "sweep":
+            # aged reclamation (r15): with a zero threshold every torn
+            # record BELOW the head is permanently-dead residue and must
+            # be reclaimed (and its slot fenced); torn records at/above
+            # the head stay — zombie recovery there is manual
+            head_before = model_head()
+            t.vacuum_orphans(older_than_sec=-1.0)
+            for s in sorted(model):
+                if s < head_before and model[s] is None:
+                    floor = max(floor, s)
+                    del model[s]
+            assert model_head() == head_before
+        elif op[0] == "stale":
+            # a writer whose derive outlived retention targets a vacated
+            # slot: the floor fence must raise and leave no record
+            if floor > 0:
+                head_before = t._head()
+                with pytest.raises(RuntimeError, match="stale writer"):
+                    t._commit(
+                        "v_stale", {}, expect_parent=floor - 1
+                    )
+                assert not fs.exists(t._commit_path(floor))
+                assert t._head() == head_before
         else:  # vacuum
             keep = op[1]
             head_before = model_head()
@@ -121,8 +151,14 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
             # head and outside the newest-keep tail are dropped
             seqs = sorted(model)
             retained = set(seqs[-keep:]) if keep > 0 else set(seqs[-1:])
-            for s in seqs:
-                if s < head_before and s not in retained and model[s] is not None:
-                    del model[s]
+            dropped = [
+                s
+                for s in seqs
+                if s < head_before and s not in retained and model[s] is not None
+            ]
+            for s in dropped:
+                del model[s]
+            if dropped:
+                floor = max(floor, max(dropped))
             assert model_head() == head_before  # the head never moves
         check_invariants()
