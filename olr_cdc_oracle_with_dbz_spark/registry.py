@@ -87,79 +87,83 @@ def register(
 #: rounds behind, so the STALEST queries always lead, followed by canaries
 #: for code touched this round, then the refresh block.
 DRIVER_FIRST: tuple[str, ...] = (
-    # --- r14 rotation. Window budget ~50 (r11–r13 = exactly 50); invariant:
+    # --- r15 rotation. Window budget ~50 (r11-r14 = exactly 50); invariant:
     # no query's latest green falls more than 3 rounds behind, STALEST lead.
-    # Computed from CORRECTNESS_r01–r13: 7 rows r11-green, 49 rows
-    # r12-green, 50 rows r13-green.
-    # (1) The 7 rows whose latest green is r11 (3 rounds stale this round —
-    #     the r13 verdict's named rotation order; they MUST all clear).
-    "q40_string_funcs",
-    "q41_datetime_funcs",
-    "q42_math_funcs",
-    "q43_array_funcs",
-    "q43b_explode",
-    "q43c_higher_order",
-    "q44_struct_map",
-    # (2) r14 CANARY — streaming/materialize.py gained commit-log
-    #     auto-retention (bounded `_commits/` + per-merge listing) and the
-    #     vacuum head-protection fix this round; q52 merges through the
-    #     upsert table. (The protocol change is also pytest-pinned through
-    #     LocalFS, HadoopFS, and the simulated object store.)
-    "q52_upsert_compaction",
-    # (3) r12-green refresh (2 rounds stale): 42 of the remaining 48 fill
-    #     the window.
-    "l1_exact_dedup",
-    "l2b_ngram_jaccard",
-    "l2fv_minhash_ml_recall",
-    "l2v_minhash_recall",
-    "l3_cosine_topk",
-    "l4bv_bruteforce_agreement",
-    "l4cv_ann_ivf_recall",
-    "l4dv_ann_brp_recall",
-    "l4v_ann_lsh_recall",
-    "l5_text_stats",
-    "l5b_lang_id",
-    "l5c_quality_score",
-    "l5d_redact_pii",
-    "l5e_boilerplate",
-    "l6_tfidf",
-    "l7_fingerprint",
-    "l8_curation_pipeline",
-    "l9_train_split",
-    "l9b_stratified_sample",
-    "m1_multimodal_meta",
-    "m2_multimodal_features",
-    "q13_inner_join",
-    "q13b_join_cobucketed",
-    "q20_multiway_join",
-    "q20b_multiway_cobucketed",
-    "q22_hash_agg_tpch_q1",
-    "q24_global_agg",
-    "q26_having",
-    "q27_stats_aggs",
-    "q30_filtered_agg",
-    "q33_frames",
-    "q35_multikey_sort",
-    "q47_scalar_subquery",
-    "q48_exists_subquery",
-    "q48b_in_subquery",
-    "q50_envelope_parse",
-    "q51_unwrap",
-    "q53_snapshot_incremental",
-    "q54_changelog_stats",
-    "s2_tumbling_window",
-    "s3_sliding_window",
-    "s4_session_window",
-    # (4) Past the ~50 cutoff: the 6 displaced r12-green rows — the
-    #     change-stable UDF family (code untouched since r8; every one is
-    #     also pytest-pinned). They are 2 rounds stale now and MUST lead
-    #     the r15 rotation.
+    # Computed from CORRECTNESS_r01-r14: 6 rows r12-green (the UDF family),
+    # 50 rows r13-green, 50 rows r14-green.
+    # (1) The 6 rows whose latest green is r12 (3 rounds stale this round -
+    #     the r14 verdict's named rotation order; they MUST all clear).
     "u1_python_udf",
     "u2_pandas_udf",
     "u3_apply_in_pandas",
     "u4_udaf_weighted_avg",
     "u4b_weighted_avg_builtin",
     "u5_tokenize_udtf",
+    # (2) r15 CANARY - streaming/materialize.py gained the vacated-slot
+    #     vacuum floor (put-if-absent f<seq>.floor markers fencing stale
+    #     writers, ADVICE r14 medium) and the aged torn-record sweep below
+    #     head; fs.py reclassifies lost races by Java exception class. q52
+    #     merges through the upsert table + auto-retention; q50b exercises
+    #     the evolved-envelope path through the same commit protocol.
+    "q52_upsert_compaction",
+    "q50b_envelope_evolved",
+    # (3) r13-green refresh (2 rounds stale): 49 remaining rows, ordered so
+    #     the rows nearest this round's touched code and the least
+    #     pytest-pinned analytics come first; the change-stable scan/setop
+    #     tail past the ~50 cutoff goes r16-leading at exactly 3 rounds.
+    "q21_asof_join",
+    "q21b_funnel",
+    "q21c_retention",
+    "q23_count_distinct",
+    "q25_rollup",
+    "q25b_cube",
+    "q25c_grouping_sets",
+    "q28_percentile",
+    "q29_distinct_exact_vs_approx",
+    "q29b_approx_aggs",
+    "q31_ranking",
+    "q31b_distribution_ranks",
+    "q32_lag_lead",
+    "q34_topk_per_group",
+    "q44b_pivot",
+    "q44c_unpivot",
+    "q45_json_funcs",
+    "q45b_from_to_json",
+    "q46_hash_misc",
+    "q49_cte",
+    "l2c_simhash",
+    "l2d_embedding_neardup",
+    "l2e_dup_clusters",
+    "q05_arith_projection",
+    "q06_filter_bool",
+    "q07_between_date",
+    "q08_in_list",
+    "q09_like_regex",
+    "q10_null_semantics",
+    "q10b_null_safe_eq",
+    "q11_case_when",
+    "q12_cast_matrix",
+    "q14_broadcast_join",
+    "q15_outer_joins",
+    "q15b_full_outer",
+    "q16_semi_join",
+    "q17_anti_join",
+    "q18_range_join",
+    "q19_cross_join",
+    "q03_csv_roundtrip",
+    "q03b_json_roundtrip",
+    # --- ~50-row window cutoff lands here; the tail below is the most
+    # change-stable block (plain scans/setops, plans pinned in
+    # tests/test_plans.py), r13-green, staged to LEAD r16 at exactly 3
+    # rounds stale if the window cuts above them.
+    "q01_scan_full",
+    "q02_scan_pruned",
+    "q04_parquet_roundtrip",
+    "q36_limit_topk",
+    "q37_union",
+    "q38_intersect",
+    "q38b_except",
+    "q39_distinct",
 )
 
 _loaded = False
