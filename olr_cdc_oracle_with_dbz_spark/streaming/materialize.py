@@ -93,6 +93,10 @@ class ParquetUpsertTable:
     #: constructor doesn't pick one — see ``retain_commits`` below
     DEFAULT_RETAIN_COMMITS = 32
 
+    #: minimum age (store mtime vs driver clock) before vacuum may delete
+    #: a commit record and vacate its slot — see ``vacuum_grace_sec`` below
+    DEFAULT_VACUUM_GRACE_SEC = 60.0
+
     def __init__(
         self,
         spark: SparkSession,
@@ -102,6 +106,7 @@ class ParquetUpsertTable:
         n_buckets: int | None = None,
         fs=None,
         retain_commits: int | None = None,
+        vacuum_grace_sec: float | None = None,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
@@ -140,6 +145,23 @@ class ParquetUpsertTable:
         model: the Postgres sink database keeps bounded durable state,
         not every historical row version
         (/root/reference/README.md:840-842).
+
+        ``vacuum_grace_sec``: a record younger than this is never deleted
+        by :meth:`vacuum`, so its slot is never vacated while its writer
+        could still be inside the create→post-check window of
+        :meth:`_commit` (the fs-call-wide race where a successor commit
+        plus a ``keep``-tight vacuum could otherwise raise the floor past
+        a FRESH, legitimate commit and make its writer raise spuriously —
+        Delta's "can't VACUUM below the retention threshold" posture
+        applied to commit metadata). The bounded-log guarantee becomes
+        max(~2x ``retain_commits``, commits within the grace window);
+        at production micro-batch cadence (seconds apart) the 60 s
+        default adds at most a handful of records. Age compares the
+        store's mtime against the driver's clock (same skew caveat as
+        :meth:`vacuum_orphans`) — size it well above expected skew.
+        0 restores unconditional vacuuming (tests exercising rapid
+        retention use this; they are single-threaded, so the race the
+        grace exists to close cannot occur there).
         """
         self.spark = spark
         self.table_dir = table_dir
@@ -150,6 +172,15 @@ class ParquetUpsertTable:
         )
         if self.retain_commits < 0:
             raise ValueError(f"retain_commits must be >= 0, got {retain_commits}")
+        self.vacuum_grace_sec = (
+            self.DEFAULT_VACUUM_GRACE_SEC
+            if vacuum_grace_sec is None
+            else vacuum_grace_sec
+        )
+        if self.vacuum_grace_sec < 0:
+            raise ValueError(
+                f"vacuum_grace_sec must be >= 0, got {vacuum_grace_sec}"
+            )
         self.fs = fs if fs is not None else LocalFS()
         self.fs.mkdirs(table_dir)
         _seq, m = self._head()
@@ -195,14 +226,20 @@ class ParquetUpsertTable:
         (the commit path's no-rename rule, test_object_store_commit).
         0 = no marker (nothing ever vacuumed; an absent floor fails
         OPEN to pre-retention behavior — it never blocks commits)."""
-        best = 0
+        return max((s for s, _n in self._floor_markers()), default=0)
+
+    def _floor_markers(self) -> list[tuple[int, str]]:
+        """(seq, filename) of every ``f<seq>.floor`` marker in the log dir
+        — the single parser of the marker naming scheme, shared by
+        :meth:`_floor` and :meth:`_raise_floor`."""
+        out = []
         for name in self.fs.list_names(self._commit_dir()):
             if name.startswith("f") and name.endswith(_FLOOR_EXT):
                 try:
-                    best = max(best, int(name[1 : -len(_FLOOR_EXT)]))
+                    out.append((int(name[1 : -len(_FLOOR_EXT)]), name))
                 except ValueError:
                     continue
-        return best
+        return out
 
     def _raise_floor(self, seq: int) -> None:
         """Monotonically advance the vacated-slot floor to at least
@@ -218,14 +255,9 @@ class ParquetUpsertTable:
         if seq <= cur:
             return
         self.fs.create_exclusive(self._floor_marker(seq), "")
-        for name in self.fs.list_names(self._commit_dir()):
-            if name.startswith("f") and name.endswith(_FLOOR_EXT):
-                try:
-                    s = int(name[1 : -len(_FLOOR_EXT)])
-                except ValueError:
-                    continue
-                if s < seq:
-                    self.fs.delete(os.path.join(self._commit_dir(), name))
+        for s, name in self._floor_markers():
+            if s < seq:
+                self.fs.delete(os.path.join(self._commit_dir(), name))
 
     def _commit_path(self, seq: int) -> str:
         return os.path.join(self._commit_dir(), f"c{seq:020d}.json")
@@ -353,15 +385,23 @@ class ParquetUpsertTable:
         # Check the floor before the create (cheap fast-fail on a stale
         # derive) AND after winning it (authoritative: the floor is
         # published BEFORE any deletion, so a concurrent vacuum that
-        # vacated this slot is visible by now). The post-win check cannot
-        # false-positive on a fresh commit: vacuum never deletes records
-        # at/above the readable head, so the floor only reaches this seq
-        # if the log had already advanced past it — the lost-update case.
-        if seq <= self._floor():
+        # vacated this slot is visible by now). The post-win check CAN in
+        # principle fire on a fresh, legitimate commit — it takes a
+        # successor deriving from this record AND a vacuum raising the
+        # floor past it, both inside the one-fs-call window between our
+        # create and our floor read — but ``vacuum_grace_sec`` keeps
+        # records that young out of every vacuum's reach, so reaching it
+        # requires the driver to stall longer than the grace between two
+        # adjacent metadata calls. If that ever happens the failure is
+        # spurious-but-safe: the raise aborts a batch whose rows are
+        # already in the head lineage, and the idempotent replay
+        # re-derives from the live head.
+        floor = self._floor()
+        if seq <= floor:
             raise RuntimeError(
                 f"stale writer detected on {self.table_dir}: state derived "
                 f"from commit {expect_parent}, but the retention vacuum "
-                f"has already reclaimed commits through {self._floor()} — "
+                f"has already reclaimed commits through {floor} — "
                 f"committing {version} at slot {seq} would be invisible to "
                 f"the head (silent lost update). Re-derive from the live "
                 f"head and retry"
@@ -400,17 +440,25 @@ class ParquetUpsertTable:
             # A vacuum raised the floor past this slot between the
             # pre-check and the create: the slot was vacated, the win is
             # counterfeit, and leaving the record would publish a version
-            # the head never includes. Withdraw it and raise.
-            try:
-                self.fs.delete(self._commit_path(seq))
-            except OSError:
-                pass  # already reclaimed by a concurrent sweep
+            # the head never includes. Withdraw it and raise. fs.delete
+            # swallows failures by contract, so verify the withdrawal
+            # with an exists probe — an undead record is a time-travel
+            # target readers could reach, and the error must say so
+            # rather than claim a clean withdrawal.
+            self.fs.delete(self._commit_path(seq))
+            withdrawn = not self.fs.exists(self._commit_path(seq))
             raise RuntimeError(
                 f"stale writer detected on {self.table_dir}: commit slot "
                 f"{seq} was won after the retention vacuum reclaimed "
-                f"commits through {floor} (derived from "
-                f"{expect_parent}); the record was withdrawn — re-derive "
-                f"from the live head and retry"
+                f"commits through {floor} (derived from {expect_parent}); "
+                + (
+                    "the record was withdrawn"
+                    if withdrawn
+                    else f"WITHDRAWAL FAILED — delete "
+                    f"{self._commit_path(seq)} manually before readers "
+                    f"time-travel to it"
+                )
+                + " — re-derive from the live head and retry"
             )
         if self.retain_commits and seq % self.retain_commits == 0:
             self.vacuum(keep=self.retain_commits)
@@ -565,11 +613,14 @@ class ParquetUpsertTable:
         sweep :meth:`vacuum_orphans` (Delta's posture: VACUUM uses a
         retention-hours threshold for exactly this reason).
         """
+        import time
+
         seqs = self._commit_seqs()
         if not seqs:
             return []  # empty or legacy-pointer table: nothing to vacuum
         head_seq, _head_m = self._head()
         retained = set(seqs[-keep:]) if keep > 0 else set(seqs[-1:])
+        grace_cutoff = time.time() - self.vacuum_grace_sec
         to_drop: list[tuple[int, dict]] = []
         for s in seqs:
             if s >= head_seq or s in retained:
@@ -577,6 +628,17 @@ class ParquetUpsertTable:
             r = self._record(s)
             if r is None:
                 continue  # in-flight upload racing this vacuum: hands off
+            if self.vacuum_grace_sec:
+                # a record this young may belong to a writer still inside
+                # its create→post-check window; vacating its slot could
+                # raise the floor past a fresh legitimate commit and make
+                # that writer raise spuriously (see vacuum_grace_sec in
+                # __init__). Leave it for the next vacuum.
+                try:
+                    if self.fs.mtime(self._commit_path(s)) > grace_cutoff:
+                        continue
+                except OSError:
+                    continue  # vanished under a concurrent sweep
             to_drop.append((s, r))
         if to_drop:
             # publish the vacated-slot floor BEFORE any deletion (ADVICE
@@ -612,21 +674,33 @@ class ParquetUpsertTable:
             out.setdefault(v, None)
         return list(out)
 
-    def _age_mtime(self, path: str) -> float:
-        """Freshest modification time over ``path`` AND its immediate
-        children — the age signal for orphan cleanup. The top-level dir's
-        mtime alone measures write START, not last activity: on LocalFS a
-        version dir's mtime is set at mkdir and never refreshed by
-        ongoing writes into its ``pb=*`` subdirs, so a long-running
-        writer would look old while still active (ADVICE r14). One level
-        down is where activity lands (files appearing inside ``pb=*``
-        bump that subdir's mtime)."""
-        newest = self.fs.mtime(path)
-        for child in self.fs.list_names(path):
-            try:
-                newest = max(newest, self.fs.mtime(os.path.join(path, child)))
-            except OSError:
-                continue  # vanished between listing and stat
+    def _age_mtime(self, path: str, depth: int = 4) -> float:
+        """Freshest modification time over ``path`` and its descendants
+        down to ``depth`` levels — the age signal for orphan cleanup.
+        The top-level dir's mtime alone measures write START, not last
+        activity: on LocalFS a version dir's mtime is set at mkdir and
+        never refreshed by ongoing writes into subdirs (ADVICE r14).
+        Depth 4 is dictated by where a LIVE writer's activity actually
+        lands: a committed layout bumps ``pb=*`` subdirs (depth 1), but
+        an IN-FLIGHT Spark write stages everything under the
+        FileOutputCommitter's
+        ``_temporary/<appAttempt>/_temporary/<taskAttempt>/`` tree —
+        task file creation bumps the ``<taskAttempt>`` dirs, which sit
+        at depth 4 under the version dir. A shallower probe reads a
+        still-running job as idle once its attempt dirs exist, and a
+        tight ``older_than_sec`` could then sweep the dir mid-write. The
+        walk is maintenance-path-only and scoped to UNREFERENCED dirs,
+        so the listing cost is bounded by one job's staging tree."""
+        try:
+            newest = self.fs.mtime(path)
+        except OSError:
+            return float("-inf")  # vanished between listing and stat
+        if depth > 0 and self.fs.is_dir(path):
+            for child in self.fs.list_names(path):
+                newest = max(
+                    newest,
+                    self._age_mtime(os.path.join(path, child), depth - 1),
+                )
         return newest
 
     def vacuum_orphans(self, older_than_sec: float = 7 * 24 * 3600) -> list[str]:
@@ -666,9 +740,13 @@ class ParquetUpsertTable:
         """
         import time
 
+        # one pass over the log: readable records feed the referenced
+        # set, unreadable ones are the torn-sweep candidates for leg (2)
+        records: dict[int, dict | None] = {
+            s: self._record(s) for s in self._commit_seqs()
+        }
         referenced = set()
-        for s in self._commit_seqs():
-            r = self._record(s)
+        for r in records.values():
             if r is None:
                 continue
             for rel in r["buckets"].values():
@@ -689,19 +767,27 @@ class ParquetUpsertTable:
             self.fs.delete(p)
             dropped.append(d)
         # (2) permanently torn records below the readable head
-        head_seq, _m = self._head()
-        for s in self._commit_seqs():
-            if s >= head_seq or self._record(s) is not None:
+        head_seq = max(
+            (s for s, r in records.items() if r is not None), default=0
+        )
+        torn_old: list[int] = []
+        for s, r in records.items():
+            if s >= head_seq or r is not None:
                 continue
-            rec_path = self._commit_path(s)
             try:
-                if self.fs.mtime(rec_path) > cutoff:
+                if self.fs.mtime(self._commit_path(s)) > cutoff:
                     continue  # may be an upload still in flight
             except OSError:
                 continue  # vanished (concurrent sweep or late completion)
-            self._raise_floor(s)  # fence BEFORE the slot re-opens
-            self.fs.delete(rec_path)
-            dropped.append(os.path.basename(rec_path))
+            torn_old.append(s)
+        if torn_old:
+            # ONE floor publication covering every slot about to re-open
+            # (the same batched publish-then-delete order vacuum() uses)
+            # instead of a marker create + listing + marker GC per record
+            self._raise_floor(max(torn_old))
+            for s in sorted(torn_old):
+                self.fs.delete(self._commit_path(s))
+                dropped.append(os.path.basename(self._commit_path(s)))
         return dropped
 
     # -- write side --------------------------------------------------------

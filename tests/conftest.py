@@ -21,6 +21,24 @@ def spark():
 
 
 @pytest.fixture(autouse=True)
+def _zero_vacuum_grace(monkeypatch):
+    """Tests commit in sub-second bursts, so the production vacuum grace
+    (a record younger than ``vacuum_grace_sec`` is never vacated — the
+    fence against a vacuum racing a fresh writer's create→post-check
+    window) would make every retention assertion vacuous: nothing in a
+    test's lifetime is ever old enough to vacuum. Zero the DEFAULT here;
+    the grace behavior itself is covered by dedicated tests that pass an
+    explicit ``vacuum_grace_sec``. Single-threaded tests cannot hit the
+    race the grace exists to close."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        ParquetUpsertTable,
+    )
+
+    monkeypatch.setattr(ParquetUpsertTable, "DEFAULT_VACUUM_GRACE_SEC", 0.0)
+    yield
+
+
+@pytest.fixture(autouse=True)
 def _sink_fs_override(request):
     """OLR_TEST_FS=hadoop reroutes every seam client constructed with the
     DEFAULT fs through HadoopFS — so the literal, unmodified sink suite

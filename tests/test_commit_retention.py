@@ -449,3 +449,158 @@ def test_torn_records_below_head_reclaimed_by_aged_sweep(spark, tmp_path):
     os.utime(t._commit_path(6), (week_ago, week_ago))
     assert t.vacuum_orphans(older_than_sec=7 * 24 * 3600) == []
     assert fs.exists(t._commit_path(6))
+
+
+def test_vacuum_grace_protects_young_records(spark, tmp_path):
+    """r15 code-review: a record younger than ``vacuum_grace_sec`` is
+    never vacated — the fence against a keep-tight vacuum racing a fresh
+    writer's create→post-check window (which would raise the floor past
+    a legitimate commit and make its writer raise spuriously). Age is
+    the store mtime, so backdating a record makes it eligible."""
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=0,
+        vacuum_grace_sec=3600.0,
+    )
+    for i in range(1, 6):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+
+    # every record is seconds old: nothing is eligible, floor unraised
+    assert t.vacuum(keep=1) == []
+    assert len(_log_names(t)) == 5
+    assert t._floor() == 0
+
+    # records 1-3 age past the grace; 4 stays young, 5 is the head
+    old = time.time() - 7200
+    for s in (1, 2, 3):
+        os.utime(t._commit_path(s), (old, old))
+    dropped = t.vacuum(keep=1)
+    assert dropped == [f"v{s:020d}" for s in (1, 2, 3)]
+    assert sorted(_log_names(t)) == [f"c{s:020d}.json" for s in (4, 5)]
+    assert t._floor() == 3
+
+
+class _StickyWithdrawFS(_VacuumBetweenCheckAndCreateFS):
+    """After the RACER's create of the armed slot (the second successful
+    create at that path — the first is the busy stream's own commit), the
+    store starts failing deletes of that record, silently per the
+    cleanup-only delete contract."""
+
+    def __init__(self):
+        super().__init__()
+        self.sticky = None
+        self.n_armed_creates = 0
+
+    def create_exclusive(self, path, text):
+        ok = super().create_exclusive(path, text)
+        if path == self.armed_path and ok:
+            self.n_armed_creates += 1
+            if self.n_armed_creates == 2:
+                self.sticky = path
+        return ok
+
+    def delete(self, path):
+        if path == self.sticky:
+            return  # transient store failure, swallowed by contract
+        super().delete(path)
+
+
+def test_withdrawal_failure_is_reported(spark, tmp_path):
+    """r15 code-review: fs.delete swallows failures by contract, so the
+    post-win fence VERIFIES the counterfeit record is gone and names the
+    manual cleanup when it is not — instead of claiming a withdrawal
+    that silently failed while readers could still time-travel to it."""
+    import pytest
+
+    tdir = str(tmp_path / "tbl")
+    fs = _StickyWithdrawFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=0
+    )
+    fs.table = t
+    for i in range(1, 6):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+
+    fs.armed_path = t._commit_path(6)
+    with pytest.raises(RuntimeError, match="WITHDRAWAL FAILED"):
+        t._commit("v_racer", {"0": "v_racer/pb=0"}, expect_parent=5)
+    # the counterfeit record is still on the store — exactly what the
+    # error message warned about
+    assert fs.exists(t._commit_path(6))
+
+
+def test_orphan_sweep_sees_deep_committer_staging(spark, tmp_path):
+    """r15 code-review: an IN-FLIGHT Spark write stages all activity
+    under _temporary/<app>/_temporary/<taskAttempt>/ — task file writes
+    bump the taskAttempt dir at depth 4, while every shallower dir keeps
+    its setup-time mtime. The orphan age signal must reach that depth or
+    a tight older_than_sec would sweep a still-running writer's dir."""
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 3):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+
+    # an unreferenced dir mid-write: committer skeleton set up hours ago,
+    # but a task attempt is actively writing (fresh mtime at depth 4)
+    attempt = os.path.join(
+        tdir, "v_inflight", "_temporary", "0", "_temporary", "attempt_0"
+    )
+    os.makedirs(attempt)
+    with open(os.path.join(attempt, "part-00000"), "w") as f:
+        f.write("data")
+    old = time.time() - 7200
+    top = os.path.join(tdir, "v_inflight")
+    for p in (
+        top,
+        os.path.join(top, "_temporary"),
+        os.path.join(top, "_temporary", "0"),
+        os.path.join(top, "_temporary", "0", "_temporary"),
+    ):
+        os.utime(p, (old, old))
+
+    assert t.vacuum_orphans(older_than_sec=3600) == []
+    assert fs.exists(top)
+
+    # the job died: once the attempt dir ages too, the dir is reclaimed
+    os.utime(attempt, (old, old))
+    os.utime(os.path.join(attempt, "part-00000"), (old, old))
+    assert t.vacuum_orphans(older_than_sec=3600) == ["v_inflight"]
+    assert not fs.exists(top)
+
+
+def test_torn_sweep_publishes_single_floor_marker(spark, tmp_path):
+    """r15 code-review: reclaiming k aged torn records publishes ONE
+    floor marker covering all of them (the batched publish-then-delete
+    order vacuum() uses), not k marker create/GC round-trips."""
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    for i in range(1, 6):
+        t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False)]), i)
+    week_ago = time.time() - 8 * 24 * 3600
+    for s in (1, 2, 3):
+        with open(t._commit_path(s), "w") as f:
+            f.write("{torn")
+        os.utime(t._commit_path(s), (week_ago, week_ago))
+
+    dropped = t.vacuum_orphans(older_than_sec=7 * 24 * 3600)
+    assert dropped == [f"c{s:020d}.json" for s in (1, 2, 3)]
+    markers = [
+        n
+        for n in fs.list_names(os.path.join(tdir, _COMMITS))
+        if n.endswith(".floor")
+    ]
+    assert markers == [f"f{3:020d}.floor"]
+    assert t._floor() == 3
