@@ -691,16 +691,16 @@ class ParquetUpsertTable:
         tight ``older_than_sec`` could then sweep the dir mid-write. The
         walk is maintenance-path-only and scoped to UNREFERENCED dirs,
         so the listing cost is bounded by one job's staging tree."""
-        try:
-            newest = self.fs.mtime(path)
-        except OSError:
-            return float("-inf")  # vanished between listing and stat
+        newest = self.fs.mtime(path)  # root raise = caller's vanished case
         if depth > 0 and self.fs.is_dir(path):
             for child in self.fs.list_names(path):
-                newest = max(
-                    newest,
-                    self._age_mtime(os.path.join(path, child), depth - 1),
-                )
+                try:
+                    newest = max(
+                        newest,
+                        self._age_mtime(os.path.join(path, child), depth - 1),
+                    )
+                except OSError:
+                    continue  # child vanished between listing and stat
         return newest
 
     def vacuum_orphans(self, older_than_sec: float = 7 * 24 * 3600) -> list[str]:
