@@ -83,9 +83,16 @@ class LocalFS:
         if parent:
             os.makedirs(parent, exist_ok=True)
         tmp = f"{path}.tmp"
-        with open(tmp, "w") as f:
-            f.write(text)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        except BaseException:
+            try:  # same no-temp-litter rule as create_exclusive
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Put-if-absent: publish ``text`` at ``path`` iff it doesn't exist.
@@ -108,15 +115,21 @@ class LocalFS:
         if parent:
             os.makedirs(parent, exist_ok=True)
         tmp = f"{path}.{os.getpid()}.{next(_TMP_SEQ)}.tmp"
-        with open(tmp, "w") as f:
-            f.write(text)
         try:
+            with open(tmp, "w") as f:
+                f.write(text)
             os.link(tmp, path)
             return True
         except FileExistsError:
             return False
         finally:
-            os.remove(tmp)
+            # the temp never outlives ANY exit — including a failed
+            # content write (disk full), which previously left uniquely
+            # named .tmp litter in the log dir that no vacuum collects
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def list_names(self, path: str) -> list[str]:
         """Child basenames of ``path`` ([] when missing or not a dir)."""
@@ -192,9 +205,18 @@ class HadoopFS:
         return self._fs(p).exists(p)
 
     def is_dir(self, path: str) -> bool:
+        """False when missing — including a path that vanishes between a
+        caller's listing and this check (concurrent vacuum/sweep), which
+        getFileStatus reports as a Java FileNotFoundException; LocalFS
+        returns False there, so normalize rather than leak Py4JJavaError
+        past the seam (the ADVICE r13 parity rule)."""
         p = self._path(path)
-        fs = self._fs(p)
-        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+        try:
+            return self._fs(p).getFileStatus(p).isDirectory()
+        except Exception as e:
+            if self._is_java(e, "FileNotFoundException"):
+                return False
+            raise
 
     def mkdirs(self, path: str) -> None:
         p = self._path(path)
@@ -323,7 +345,19 @@ class HadoopFS:
             fs = self._fs(dst)
             if fs.exists(dst):
                 fs.delete(dst, False)
-            fs.rename(tmp, dst)
+            # FileSystem.rename signals failure by returning FALSE, not by
+            # raising — swallowing it would report the state write as done
+            # while the file still holds the old value (or none, after the
+            # delete above): a JDBC watermark that silently never advances
+            if not fs.rename(tmp, dst):
+                try:
+                    fs.delete(tmp, False)
+                except Exception:
+                    pass
+                raise OSError(
+                    f"atomic write of {path} failed: FileSystem.rename "
+                    f"returned false on the non-FileContext fallback"
+                )
 
     def create_exclusive(self, path: str, text: str) -> bool:
         """Put-if-absent: write-temp + ``FileContext.rename`` with NO
@@ -394,20 +428,41 @@ class HadoopFS:
             raise
         try:
             out.write(bytearray(text.encode("utf-8")))
-        finally:
             out.close()
+        except Exception:
+            # closing after a failed write would FINALIZE the PUT and
+            # publish a truncated record at the commit slot — the torn
+            # head that needs manual recovery. Close to release the
+            # handle, then withdraw whatever partial object became
+            # visible, so a transient write error stays transient.
+            try:
+                out.close()
+            except Exception:
+                pass
+            try:
+                fs.delete(dst, False)
+            except Exception:
+                pass
+            raise
         return True
 
     def list_names(self, path: str) -> list[str]:
         """[] when missing OR not a dir — Hadoop's listStatus on a FILE
-        returns the file itself; LocalFS returns [], so match that."""
+        returns the file itself; LocalFS returns [], so match that. Also
+        [] when the path vanishes between the status and list calls (a
+        concurrent vacuum/sweep) — LocalFS's isdir/listdir pair returns
+        [] in that race, so the Java FileNotFoundException is normalized
+        instead of leaking Py4JJavaError past the seam."""
         p = self._path(path)
         fs = self._fs(p)
-        if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
-            return []
-        return sorted(
-            s.getPath().getName() for s in fs.listStatus(p)
-        )
+        try:
+            if not fs.getFileStatus(p).isDirectory():
+                return []
+            return sorted(s.getPath().getName() for s in fs.listStatus(p))
+        except Exception as e:
+            if self._is_java(e, "FileNotFoundException"):
+                return []
+            raise
 
     def delete(self, path: str) -> None:
         """Best-effort, missing-ok (same cleanup-only contract as LocalFS)."""

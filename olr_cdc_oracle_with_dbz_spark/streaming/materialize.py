@@ -251,11 +251,11 @@ class ParquetUpsertTable:
         markers are garbage-collected AFTER the higher one is visible,
         so a reader's max never regresses — the log dir carries at most
         a few markers transiently and exactly one at rest."""
-        cur = self._floor()
-        if seq <= cur:
+        markers = self._floor_markers()  # one listing serves check + GC
+        if seq <= max((s for s, _n in markers), default=0):
             return
         self.fs.create_exclusive(self._floor_marker(seq), "")
-        for s, name in self._floor_markers():
+        for s, name in markers:
             if s < seq:
                 self.fs.delete(os.path.join(self._commit_dir(), name))
 
@@ -268,7 +268,14 @@ class ParquetUpsertTable:
         out = []
         for name in self.fs.list_names(self._commit_dir()):
             if name.startswith("c") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    # a stray non-record file (operator backup copy like
+                    # "c...json (copy).json", editor droppings) must not
+                    # brick every table op from the constructor on down —
+                    # same skip rule as _floor_markers
+                    continue
         return sorted(out)
 
     def _record(self, seq: int) -> dict | None:
@@ -327,8 +334,10 @@ class ParquetUpsertTable:
 
     def _manifest(self, version: str | None = None) -> dict | None:
         """Head manifest, or time-travel to a retained version LABEL (the
-        newest record carrying that label wins — a replayed batch appends
-        a content-identical record under the same label)."""
+        newest record carrying that label wins — a replay whose earlier
+        attempt wrote data but died BEFORE its commit landed re-writes
+        and appends under the same label; a replay of a DURABLE commit
+        short-circuits in merge_batch and appends nothing)."""
         seq, m = self._head()
         if version is None or (m and m.get("version") == version):
             return m
@@ -366,8 +375,11 @@ class ParquetUpsertTable:
         fallback enforces no-overwrite CLIENT-side (HEAD-then-PUT) — a
         narrow race window remains there and the seam warns once when
         that path is taken (fs.py, ADVICE r13). Replays are
-        unaffected: a replayed batch re-derives from the live head
-        (possibly its own earlier commit) and appends a fresh record.
+        unaffected: a replay whose earlier attempt died BEFORE its
+        commit landed re-derives from the live head and appends a fresh
+        record; a replay of a commit that DID land short-circuits in
+        merge_batch before any write (r15 — re-writing would overwrite
+        the head-referenced version dir).
 
         Auto-retention (r14): every ``retain_commits``-th successful
         commit vacuums the log down to the newest ``retain_commits``
@@ -415,10 +427,20 @@ class ParquetUpsertTable:
         )
         if not self.fs.create_exclusive(self._commit_path(seq), record):
             if self._record(seq) is None:
-                # the occupying record is unreadable: a writer died mid-
-                # create on a store where create_exclusive degrades to a
-                # non-atomic create. Its fate is unknown, so it is not
-                # silently superseded — name the zombie and the recovery.
+                # Either the occupying record is unreadable (a writer died
+                # mid-create on a store where create_exclusive degrades to
+                # a non-atomic create) or a vacuum deleted it between our
+                # lost create and this read. Re-check the floor to tell
+                # them apart — sending an operator to delete a torn record
+                # that a vacuum already reclaimed is a wrong runbook.
+                if seq <= self._floor():
+                    raise RuntimeError(
+                        f"stale writer detected on {self.table_dir}: "
+                        f"state derived from commit {expect_parent}, but "
+                        f"the retention vacuum has already reclaimed "
+                        f"commits through {self._floor()} — re-derive "
+                        f"from the live head and retry"
+                    )
                 raise RuntimeError(
                     f"concurrent writer detected on {self.table_dir}: "
                     f"commit {seq} exists but is unreadable (torn record "
@@ -558,8 +580,9 @@ class ParquetUpsertTable:
 
     def versions(self) -> list[str]:
         """All retained version LABELS, oldest→newest (commit order). A
-        replayed batch appends a second record under the same label, so
-        labels are deduplicated — one logical version per label."""
+        replay whose earlier attempt's commit never landed can append a
+        second record under the same label, so labels are deduplicated —
+        one logical version per label."""
         seen: dict[str, None] = {}  # insertion-ordered set
         for s in self._commit_seqs():
             r = self._record(s)
@@ -800,9 +823,25 @@ class ParquetUpsertTable:
 
         Only the buckets the batch's keys hash into are read back and
         rewritten — one partitioned write job regardless of bucket count.
+
+        Replay idempotence: ``label`` is keyed by ``batch_id``, so a
+        foreachBatch replay of a batch whose ``_commit`` ALREADY landed
+        (crash between the commit and the checkpoint offset commit) finds
+        the head carrying its own label and returns without writing —
+        re-running the write would ``overwrite`` the very version dir the
+        head references and the merge reads from (Spark's
+        read/overwrite-conflict guard does not fire because the read
+        roots are the ``pb=`` subdirs while the overwrite target is their
+        parent). The short-circuit is Delta's foreachBatch txn-version
+        dedup posture. Consequence: a table's batch-id space must be
+        monotonic — reprocessing a source from a FRESH checkpoint against
+        an existing table dir reuses old labels; point it at a new table
+        dir (or ``compact()`` first, which relabels the head) instead.
         """
         label = f"v{batch_id:020d}"
         parent_seq, manifest = self._head()  # fence token for _commit
+        if manifest is not None and manifest.get("version") == label:
+            return  # this batch's commit is already durable: replay no-op
         if manifest is not None:
             committed = manifest.get("n_buckets", self.n_buckets)
             if committed != self.n_buckets:

@@ -604,3 +604,102 @@ def test_torn_sweep_publishes_single_floor_marker(spark, tmp_path):
     ]
     assert markers == [f"f{3:020d}.floor"]
     assert t._floor() == 3
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """r15 code-review (headline): a foreachBatch replay of a batch whose
+    _commit already landed (crash between the commit and the checkpoint
+    offset commit) finds the head carrying its own label and must NOT
+    re-run the write — mode("overwrite") would delete the very version
+    dir the head references and the merge reads from (Spark's
+    read/overwrite-conflict guard misses it: read roots are the pb=
+    subdirs, the overwrite target is their parent)."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    t.merge_batch(_frame(spark, [(1, "a", 100, False), (2, "b", 200, False)]), 1)
+    t.merge_batch(_frame(spark, [(2, "b2", 201, False), (3, "c", 300, False)]), 2)
+
+    head_before = t._head()
+    log_before = sorted(_log_names(t))
+    v2 = os.path.join(tdir, f"v{2:020d}")
+    files_before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _dn, fn in os.walk(v2)
+        for f in fn
+    }
+
+    # the replay: same batch id, same (deterministically re-derived) rows
+    t.merge_batch(_frame(spark, [(2, "b2", 201, False), (3, "c", 300, False)]), 2)
+
+    assert t._head() == head_before  # no new commit record
+    assert sorted(_log_names(t)) == log_before
+    files_after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _dn, fn in os.walk(v2)
+        for f in fn
+    }
+    assert files_after == files_before  # the version dir was not rewritten
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_commit_seqs_ignores_stray_files(spark, tmp_path):
+    """r15 code-review: a stray non-record 'c*.json' in _commits/ (operator
+    backup copy in the very dir the torn-record runbook points at) must
+    not brick the constructor and every table op with a ValueError."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs)
+    t.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+    with open(os.path.join(tdir, _COMMITS, "c0001 (copy).json"), "w") as f:
+        f.write("{}")
+
+    t2 = ParquetUpsertTable(spark, tdir, key="id", fs=fs)  # must not raise
+    assert [r["id"] for r in t2.read().collect()] == [1]
+    t2.merge_batch(_frame(spark, [(2, "b", 200, False)]), 2)
+    assert sorted(r["id"] for r in t2.read().collect()) == [1, 2]
+
+
+class _VacuumAfterLostCreateFS(LocalFS):
+    """After the armed path's create_exclusive LOSES (slot occupied), a
+    concurrent retention vacuum reclaims the occupying record before the
+    loser reads it back."""
+
+    def __init__(self):
+        self.table = None
+        self.armed_path = None
+        self.fired = False
+
+    def create_exclusive(self, path, text):
+        ok = super().create_exclusive(path, text)
+        if path == self.armed_path and not ok and not self.fired:
+            self.fired = True
+            self.table.vacuum(keep=1)
+        return ok
+
+
+def test_lost_create_after_vacuum_classified_stale(spark, tmp_path):
+    """r15 code-review: losing create_exclusive and then finding the slot
+    unreadable because a vacuum DELETED the record must be diagnosed as
+    the stale-writer case, not as a torn record — the torn runbook sends
+    an operator to delete a file that no longer exists."""
+    import pytest
+
+    tdir = str(tmp_path / "tbl")
+    fs = _VacuumAfterLostCreateFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, retain_commits=0
+    )
+    fs.table = t
+    for i in range(1, 6):
+        label = f"v{i:020d}"
+        fs.mkdirs(os.path.join(tdir, label, "pb=0"))
+        t._commit(label, {"0": f"{label}/pb=0"}, expect_parent=i - 1)
+
+    # stale handle derived from commit 2 -> loses the create at slot 3;
+    # the armed vacuum then reclaims records 1-4 before the read-back
+    fs.armed_path = t._commit_path(3)
+    with pytest.raises(RuntimeError, match="stale writer"):
+        t._commit("v_stale", {"0": "v_stale/pb=0"}, expect_parent=2)
+    assert fs.fired

@@ -108,10 +108,13 @@ def test_fence_put_if_absent_exactly_one_winner(spark, tmp_path):
     assert {r["id"] for r in b.read().collect()} == {1, 2, 3}
 
 
-def test_replay_appends_identical_record_not_duplicate_state(spark, tmp_path):
-    """A foreachBatch replay (same batch id) through the object store:
-    rewrites the same data paths, appends a second record under the same
-    label — one logical version, no duplicated rows."""
+def test_replay_of_durable_commit_is_noop_on_object_store(spark, tmp_path):
+    """A foreachBatch replay (same batch id) whose _commit already landed
+    (crash between commit and checkpoint offset commit): the head carries
+    the batch's own label, so the replay returns WITHOUT writing — the
+    old re-write path mode("overwrite")-deleted the very version dir the
+    head references and the merge reads from (r15 code-review headline).
+    One record, one logical version, no duplicated rows."""
     fs = ObjectStoreFS()
     t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=4, fs=fs)
     rows = [(i, f"n{i}", 100 + i, False) for i in range(6)]
@@ -120,8 +123,7 @@ def test_replay_appends_identical_record_not_duplicate_state(spark, tmp_path):
     t.merge_batch(_frame(spark, rows), 7)  # replay after crash
     second = t._head()
 
-    assert second[0] == first[0] + 1  # a NEW record (append-only log)
-    assert second[1] == first[1]  # ... with byte-identical content
+    assert second == first  # the durable commit stands; replay is a no-op
     assert t.versions() == [first[1]["version"]]  # one logical version
     assert t.read().count() == 6
     assert fs.swap_calls == 0
