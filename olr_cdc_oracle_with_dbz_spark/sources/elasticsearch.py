@@ -28,19 +28,25 @@ def es_bulk_payload(df: DataFrame, index: str, id_col: str, deleted_flag: str = 
     Upserts become ``index`` actions keyed by ``id_col`` (idempotent —
     replaying a micro-batch rewrites the same doc ids); deletes become
     ``delete`` actions — the R9 delete-propagation contract, ES form.
+
+    The action-metadata line is rendered with ``to_json`` over a struct,
+    never by string concatenation: a string id (or index name) containing
+    a quote or backslash would otherwise produce malformed NDJSON and ES
+    rejects the whole ``_bulk`` request with a 400, wedging the stream on
+    retry (r15 code-review).
     """
+    meta = F.struct(
+        F.lit(index).alias("_index"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
     action = F.when(
         F.col(deleted_flag),
-        F.concat(
-            F.lit('{"delete":{"_index":"' + index + '","_id":"'),
-            F.col(id_col).cast("string"),
-            F.lit('"}}'),
-        ),
+        F.concat(F.lit('{"delete":'), F.to_json(meta), F.lit("}")),
     ).otherwise(
         F.concat(
-            F.lit('{"index":{"_index":"' + index + '","_id":"'),
-            F.col(id_col).cast("string"),
-            F.lit('"}}\n'),
+            F.lit('{"index":'),
+            F.to_json(meta),
+            F.lit("}\n"),
             F.to_json(F.struct(*[c for c in df.columns if c != deleted_flag])),
         )
     )
@@ -55,6 +61,7 @@ def es_sink(
     hosts: str = "localhost:9200",
     batch_actions: int = 1000,
     timeout_sec: float = 30.0,
+    deleted_flag: str = "__deleted",
 ):
     """foreachBatch ES sink: bulk POST per partition via stdlib urllib.
 
@@ -101,9 +108,9 @@ def es_sink(
         flush()
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        es_bulk_payload(batch, index, id_col).select("bulk").foreachPartition(
-            post_partition
-        )
+        es_bulk_payload(batch, index, id_col, deleted_flag).select(
+            "bulk"
+        ).foreachPartition(post_partition)
 
     return fn
 

@@ -57,6 +57,15 @@ def jdbc_snapshot(
         for k, v in (properties or {}).items():
             reader = reader.option(k, v)
         if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                # str(None) would reach Spark as the literal "None" and
+                # die deep in the reader as a NumberFormatException —
+                # fail at the call site with the actual requirement
+                raise ValueError(
+                    "partition_column requires explicit lower_bound and "
+                    "upper_bound (Spark's JDBC range-partitioned read "
+                    "has no bounds discovery)"
+                )
             reader = (
                 reader.option("partitionColumn", partition_column)
                 .option("numPartitions", str(num_partitions))
@@ -144,22 +153,51 @@ class JdbcIncrementalSource:
         identifier: a table created with unquoted DDL stores the
         database's case-folded form (Derby/Oracle upper, Postgres lower),
         and that folded form is what must be passed here.
+
+        At-least-once delivery (r15 code-review): the advanced watermark
+        is NOT persisted inside the same poll — it is held pending and
+        committed by :meth:`commit` (call it once the batch is durably
+        delivered) or, failing that, by the NEXT ``poll()`` before it
+        reads — kafka-connect's offsets-commit-after-delivery cadence. A
+        crash between a poll and its downstream write re-polls the same
+        rows instead of skipping them; the downstream idempotent MERGE
+        absorbs the re-delivery. The batch is ``persist()``-ed and
+        materialized by the max() pass, so the source query runs ONCE per
+        poll and the delivered rows are exactly the rows the watermark
+        was computed over.
         """
+        self.commit()  # previous batch was delivered: its watermark lands
         wm = self._read_state()
         pred = (
             f'"{self.watermark_col}" > {self._render_literal(wm)}'
             if wm is not None
             else "1=1"
         )
-        batch = self.load_fn(pred)
+        batch = self.load_fn(pred).persist()
         new_wm = batch.agg(F.max(self.watermark_col)).collect()[0][0]
         if new_wm is not None:
             # datetime.datetime (timestamp watermark) round-trips through
             # str(); ints/floats/strs store natively
-            self._write_state(
+            self._pending_wm = (
                 new_wm if isinstance(new_wm, (int, float, str)) else str(new_wm)
             )
+        self._pending_batch = batch
         return batch
+
+    #: watermark of the last poll, not yet durable — see :meth:`commit`
+    _pending_wm: int | float | str | None = None
+    _pending_batch: DataFrame | None = None
+
+    def commit(self) -> None:
+        """Persist the last ``poll()``'s watermark (call after its batch
+        is durably delivered) and release the batch's cache. Idempotent;
+        also invoked automatically at the start of the next poll."""
+        if self._pending_wm is not None:
+            self._write_state(self._pending_wm)
+            self._pending_wm = None
+        if self._pending_batch is not None:
+            self._pending_batch.unpersist()
+            self._pending_batch = None
 
 
 def upsert_statement(
@@ -187,10 +225,14 @@ def upsert_statement(
     sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in data_cols)
     ins_cols = ", ".join(q(c) for c in [key, *data_cols])
     ins_vals = ", ".join(f"s.{q(c)}" for c in [key, *data_cols])
+    # a key-only table has nothing to update: 'UPDATE SET ' with no
+    # assignments is a syntax error everywhere, and a matched live row
+    # already holds the only content (its key) — drop the clause
+    update = f"WHEN MATCHED THEN UPDATE SET {sets} " if data_cols else ""
     return (
         f"MERGE INTO {table} t USING {stage} s ON t.{q(key)} = s.{q(key)} "
         f"WHEN MATCHED AND s.{q(deleted_flag)} THEN DELETE "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{update}"
         f"WHEN NOT MATCHED AND NOT s.{q(deleted_flag)} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
@@ -218,9 +260,17 @@ def jdbc_upsert_sink(
             .mode("overwrite")
             .save()
         )
-        # driver-side MERGE via java.sql through the JVM gateway
+        # driver-side MERGE via java.sql through the JVM gateway. The
+        # same credentials the stage write used go to getConnection —
+        # url-only worked solely against credential-less embedded Derby
+        # (r15 code-review); java.sql.Driver properties are the standard
+        # user/password carriers, and unknown Spark-side options (driver,
+        # fetchsize, ...) pass through harmlessly as driver properties.
         jvm = batch.sparkSession._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        jprops = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             stmt = conn.createStatement()
             stmt.execute(upsert_statement(table, batch.columns, key, stage=stage))

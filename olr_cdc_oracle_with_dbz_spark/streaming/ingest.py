@@ -38,10 +38,8 @@ def read_cdc_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(source_dir)
-    parsed = (
-        parse_envelope(raw, "value", envelope_schema)
-        if envelope_schema
-        else parse_envelope(raw, "value")
+    parsed = parse_envelope(
+        raw, "value", **({"schema": envelope_schema} if envelope_schema else {})
     )
     return source_filter(parsed, schema_name, table)
 

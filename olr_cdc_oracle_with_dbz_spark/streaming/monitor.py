@@ -13,6 +13,7 @@ metrics system; the dataflow (query → progress events → sink) is identical.
 from __future__ import annotations
 
 import json
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQuery
@@ -29,11 +30,23 @@ class BatchStats:
 
 @dataclass
 class PipelineMonitor(StreamingQueryListener):
-    """Accumulates micro-batch progress for every query on the session."""
+    """Accumulates micro-batch progress for every query on the session.
 
-    batches: list[BatchStats] = field(default_factory=list)
+    ``batches`` keeps only the most recent ``max_batches`` entries (a
+    listener on a continuous query lives as long as the driver — an
+    unbounded list is a slow heap leak at a per-seconds trigger cadence);
+    the row total is maintained as a running counter so ``total_rows()``
+    stays exact over the full history at O(1) memory (r15 code-review).
+    """
+
+    max_batches: int = 1024
+    batches: deque = field(default_factory=deque)
     started: list[str] = field(default_factory=list)
     terminated: list[tuple[str, str | None]] = field(default_factory=list)
+    _rows_total: int = 0
+
+    def __post_init__(self) -> None:
+        self.batches = deque(self.batches, maxlen=self.max_batches)
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:
@@ -41,6 +54,7 @@ class PipelineMonitor(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
+        self._rows_total += p.numInputRows
         self.batches.append(
             BatchStats(
                 batch_id=p.batchId,
@@ -58,7 +72,9 @@ class PipelineMonitor(StreamingQueryListener):
 
     # -- aggregate views ----------------------------------------------------
     def total_rows(self) -> int:
-        return sum(b.num_input_rows for b in self.batches)
+        """Rows across ALL observed batches (running counter — exact even
+        after old entries rotate out of the bounded ``batches`` window)."""
+        return self._rows_total
 
     def failed(self) -> list[tuple[str, str | None]]:
         return [(qid, exc) for qid, exc in self.terminated if exc is not None]

@@ -47,9 +47,16 @@ def _assemble(
         n, lo, hi, ni, nu, nd = 0, None, None, 0, 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        b_lo, b_hi = int(pdf["_scn"].min()), int(pdf["_scn"].max())
-        lo = b_lo if lo is None else min(lo, b_lo)
-        hi = b_hi if hi is None else max(hi, b_hi)
+        # an envelope whose wire JSON omitted source.scn parses to a null
+        # _scn; pandas min()/max() over all-NaN yields NaN and int(NaN)
+        # would kill the whole streaming query (r15 code-review). Such
+        # rows still count toward n/op totals; they just carry no SCN
+        # position, so they don't move the range.
+        scn = pd.to_numeric(pdf["_scn"], errors="coerce").dropna()
+        if len(scn):
+            b_lo, b_hi = int(scn.min()), int(scn.max())
+            lo = b_lo if lo is None else min(lo, b_lo)
+            hi = b_hi if hi is None else max(hi, b_hi)
         ops = pdf["op"].value_counts()
         ni += int(ops.get("c", 0)) + int(ops.get("r", 0))
         nu += int(ops.get("u", 0))

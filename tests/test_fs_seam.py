@@ -219,6 +219,7 @@ def test_jdbc_watermark_through_hadoop_fs(spark, tmp_path):
     src = JdbcIncrementalSource(spark, "ts", state, load, fs=HadoopFS(spark))
     first = src.poll()
     assert first.count() == 5
+    src.commit()  # batch delivered -> watermark durable (r15 contract)
     # restart with a LocalFS handle: same committed watermark, no re-reads
     src2 = JdbcIncrementalSource(spark, "ts", state, load)
     assert src2.poll().count() == 0

@@ -228,3 +228,116 @@ def test_kafka_load_requires_connector_jar(spark):
 
     with pytest.raises(Exception):
         read_kafka_cdc(spark, "localhost:9092").printSchema()
+
+
+def test_jdbc_poll_watermark_commits_after_delivery(spark, sf_dir, tmp_path):
+    """r15 code-review: the advanced watermark must not become durable
+    before the batch is delivered — a crash between poll() and the sink
+    write re-polls the same rows (at-least-once), never skips them."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    state = str(tmp_path / "wm.json")
+
+    def load(pred):
+        return orders.filter(pred.replace('"', "`")).filter("o_orderkey <= 500")
+
+    src = JdbcIncrementalSource(spark, "o_orderkey", state, load)
+    first = src.poll().count()
+    assert first > 0
+
+    # crash before delivery: a NEW instance (restart) re-polls everything
+    crashed = JdbcIncrementalSource(spark, "o_orderkey", state, load)
+    assert crashed.poll().count() == first
+
+    # delivered + committed: the next restart resumes past the batch
+    crashed.commit()
+    resumed = JdbcIncrementalSource(spark, "o_orderkey", state, load)
+    assert resumed.poll().count() == 0
+
+
+def test_upsert_statement_key_only_table():
+    """r15 code-review: no data columns beyond key+flag -> the MERGE must
+    omit the UPDATE clause entirely, not emit 'UPDATE SET ' (syntax
+    error on every database)."""
+    sql = upsert_statement("kv", ["id", "__deleted"], "id")
+    assert "UPDATE SET" not in sql
+    assert 'WHEN MATCHED AND s."__deleted" THEN DELETE' in sql
+    assert 'INSERT ("id") VALUES (s."id")' in sql
+
+
+def test_jdbc_snapshot_partition_requires_bounds(spark):
+    """r15 code-review: partition_column without bounds must fail at the
+    call site, not as a NumberFormatException('None') inside Spark."""
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        jdbc_snapshot(
+            spark, "jdbc:derby:memory:x", "t", partition_column="id"
+        )
+
+
+def test_es_bulk_payload_escapes_metadata(spark):
+    """r15 code-review: a string id containing quotes/backslashes must
+    render VALID action JSON (to_json, not string concatenation) — one
+    bad id otherwise 400-fails the whole _bulk request forever."""
+    df = spark.createDataFrame(
+        [('ab"c\\d', "x", False), ("plain", "y", True)],
+        "id string, name string, __deleted boolean",
+    )
+    for r in es_bulk_payload(df, 'idx"quoted', "id").collect():
+        act = parse_bulk_line(r.bulk)  # json.loads inside = validity check
+        op = "delete" if r["__deleted"] else "index"
+        assert act[op]["_id"] == r._id
+        assert act[op]["_index"] == 'idx"quoted'
+
+
+def test_assemble_tolerates_null_scn():
+    """r15 code-review: an envelope with no source.scn parses to a null
+    _scn; the stateful assembler must not die on int(NaN) — such rows
+    count toward totals but carry no SCN position."""
+    import pandas as pd
+
+    from olr_cdc_oracle_with_dbz_spark.streaming.stateful import _assemble
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = _State()
+    pdf = pd.DataFrame(
+        {"_scn": [None, 5.0, None], "op": ["c", "u", "d"]}
+    )
+    (out,) = _assemble(("tx1",), [pdf], st)
+    assert out["n_events"].iloc[0] == 3
+    assert out["scn_lo"].iloc[0] == 5 and out["scn_hi"].iloc[0] == 5
+    assert st.value == (3, 5, 5, 1, 1, 1)
+
+    all_null = pd.DataFrame({"_scn": [None, None], "op": ["c", "c"]})
+    st2 = _State()
+    (out2,) = _assemble(("tx2",), [all_null], st2)
+    assert out2["n_events"].iloc[0] == 2
+    assert out2["scn_lo"].iloc[0] is None or pd.isna(out2["scn_lo"].iloc[0])
+
+
+def test_monitor_bounded_window_exact_totals():
+    """r15 code-review: the listener's batch list is a bounded window (a
+    driver-lifetime listener must not leak heap at trigger cadence) while
+    total_rows() stays exact via a running counter."""
+    from olr_cdc_oracle_with_dbz_spark.streaming.monitor import PipelineMonitor
+
+    class _P:
+        def __init__(self, i):
+            self.batchId = i
+            self.numInputRows = 10
+            self.durationMs = {"triggerExecution": 1}
+            self.sink = None
+
+    class _E:
+        def __init__(self, i):
+            self.progress = _P(i)
+
+    mon = PipelineMonitor(max_batches=3)
+    for i in range(10):
+        mon.onQueryProgress(_E(i))
+    assert len(mon.batches) == 3
+    assert [b.batch_id for b in mon.batches] == [7, 8, 9]
+    assert mon.total_rows() == 100
