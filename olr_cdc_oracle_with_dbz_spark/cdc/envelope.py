@@ -50,6 +50,14 @@ def parse_envelope(
     new fields, exactly like ``auto.evolve`` at the JDBC sink.
     """
     parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e")).select("e.*")
+    return _promote(parsed)
+
+
+def _promote(parsed: DataFrame) -> DataFrame:
+    """Envelope-struct columns → the typed row shape with the metadata
+    promotions — the single definition shared by :func:`parse_envelope`
+    and :func:`quarantine_malformed` (which already holds parsed rows and
+    must not pay a second ``from_json`` pass)."""
     return parsed.select(
         "before",
         "after",
@@ -94,13 +102,7 @@ def unwrap(env: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     is_del = F.col("op") == "d"
     img = F.when(is_del, F.col("before")).otherwise(F.col("after"))
     flat = env.withColumn("_img", img).select(
-        F.col("_img.id").alias("id"),
-        F.col("_img.name").alias("name"),
-        F.col("_img.description").alias("description"),
-        F.col("_img.price").cast("decimal(10,2)").alias("price"),
-        F.col("_img.stock").alias("stock"),
-        F.timestamp_millis(F.col("_img.created_date")).alias("created_date"),
-        F.timestamp_millis(F.col("_img.updated_date")).alias("updated_date"),
+        *_image_cols("_img"),
         *[F.col(f"_img.{c}").alias(c) for c in extra_cols],
         is_del.alias("__deleted"),
         "op",
@@ -125,11 +127,21 @@ def quarantine_malformed(
     and nothing is silently dropped — the lakehouse dead-letter pattern.
     """
     tagged = raw.withColumn("_e", F.from_json(F.col(value_col), schema))
-    # a line is malformed if parsing produced no envelope at all
-    is_bad = F.col("_e").isNull() | (
-        F.col("_e.op").isNull() & F.col("_e.source").isNull()
+    # a line is malformed if parsing produced no envelope, OR the envelope
+    # is missing op / source: a null-op row would get __deleted=NULL in
+    # unwrap and every ~__deleted filter silently drops it (neither
+    # materialized nor quarantined — worse, it can win a key's window and
+    # mask an older valid row); a null-source row has no (_scn,_ssn)
+    # position in the total order. Debezium always emits both, so their
+    # absence IS the malformed case (r15 code-review).
+    is_bad = (
+        F.col("_e").isNull()
+        | F.col("_e.op").isNull()
+        | F.col("_e.source").isNull()
     )
-    good = parse_envelope(tagged.filter(~is_bad).select(value_col), value_col, schema)
+    # good rows reuse the already-parsed struct — re-running from_json on
+    # the filtered raw values would double the dominant CPU of ingest
+    good = _promote(tagged.filter(~is_bad).select("_e.*"))
     bad = tagged.filter(is_bad).select(
         F.col(value_col).alias("raw_line"), F.lit("unparseable-envelope").alias("error")
     )

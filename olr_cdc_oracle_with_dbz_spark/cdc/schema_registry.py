@@ -43,17 +43,23 @@ class SchemaRegistry:
     def register(self, ddl: str) -> int:
         """Register a new schema version; returns its version number.
 
-        Idempotent: re-registering the current schema returns the current
-        version without writing (connector restarts re-register). A lost
-        put-if-absent race re-checks the winner's content — two restarting
-        connectors registering the SAME evolution converge on one version;
-        a different schema takes the next number.
+        Idempotent against EVERY registered version, not just the newest
+        (Confluent registry semantics): a restarted OLD connector
+        re-registering a superseded schema gets that schema's existing
+        version back — minting a new highest version for it would roll
+        ``current()`` back to the un-evolved schema and the next pipeline
+        start would silently null the evolved columns out of every event
+        (r15 code-review). A lost put-if-absent race re-checks the
+        winner's content — two restarting connectors registering the SAME
+        evolution converge on one version; a different schema takes the
+        next number.
         """
         text = ddl.strip()
-        cur = self.current_version()
-        if cur is not None and self.get(cur) == text:
-            return cur
-        version = (cur or 0) + 1
+        versions = self.versions()
+        for v in reversed(versions):
+            if self.get(v) == text:
+                return v
+        version = (versions[-1] if versions else 0) + 1
         while not self.fs.create_exclusive(
             os.path.join(self.dir, f"v{version}.ddl"), text
         ):
@@ -91,12 +97,16 @@ class SchemaRegistry:
 
 
 def _split_fields(ddl: str) -> list[str]:
-    """Split a DDL field list on top-level commas (angle-bracket aware)."""
+    """Split a DDL field list on top-level commas — aware of BOTH angle
+    brackets (struct/array/map) and parentheses (``decimal(10,2)``,
+    ``varchar(64)``): the engine's own envelope casts price to
+    decimal(10,2), so parenthesized precision commas are squarely
+    in-domain (r15 code-review)."""
     out, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             out.append("".join(cur).strip())

@@ -161,7 +161,13 @@ def run_pipeline(
     if "kafka" in src:
         from olr_cdc_oracle_with_dbz_spark.sources.kafka import read_kafka_cdc
 
-        env = read_kafka_cdc(spark, src["kafka"]["bootstrap"], src["kafka"]["topic"])
+        env = read_kafka_cdc(
+            spark,
+            src["kafka"]["bootstrap"],
+            src["kafka"]["topic"],
+            schema_name=schema_name,
+            table=table_name,
+        )
     else:
         env = read_cdc_stream(
             spark,

@@ -60,6 +60,14 @@ AVRO_ENVELOPE_SCHEMA: str = json.dumps(
                     "name": "Source",
                     "fields": [
                         {"name": "scn", "type": ["null", "long"], "default": None},
+                        # ssn = Debezium's intra-transaction sequence; the
+                        # JSON envelope carries it and compact_latest needs
+                        # it to order same-SCN events (a same-SCN delete-
+                        # then-re-insert wrongly compacts to deleted
+                        # without it) — omitting it made encode crash on
+                        # IncompatibleSchemaException and decode silently
+                        # lossy (r15 code-review)
+                        {"name": "ssn", "type": ["null", "long"], "default": None},
                         {"name": "txId", "type": ["null", "string"], "default": None},
                         {"name": "rowId", "type": ["null", "string"], "default": None},
                         {"name": "schema", "type": ["null", "string"], "default": None},

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olr_cdc_oracle_with_dbz_spark.cdc.envelope import parse_envelope
+from olr_cdc_oracle_with_dbz_spark.cdc.envelope import parse_envelope, source_filter
 
 DEFAULT_TOPIC = "oracle.olr.OLR_DB.PRODUCT"  # README.md:836
 
@@ -56,11 +56,22 @@ def kafka_source_options(
 
 
 def read_kafka_cdc(
-    spark: SparkSession, bootstrap_servers: str, topic: str = DEFAULT_TOPIC, **kw
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    schema_name: str = "OLR_DB",
+    table: str = "PRODUCT",
+    **kw,
 ) -> DataFrame:
     """Streaming envelope DataFrame from the Debezium topic (R1 production
     form). ``value`` is Debezium-JSON (the registry-less wire format; with
-    Schema Registry in the loop swap the cast for ``from_avro``)."""
+    Schema Registry in the loop swap the cast for ``from_avro``).
+
+    ``schema_name``/``table`` apply the same R3 source filter as the file
+    path (``ingest.read_cdc_stream``) — without it, a topic carrying more
+    than one table would merge foreign rows with colliding ids into the
+    materialized table (r15 code-review); pass ``None`` for either to
+    keep every event (a single-table topic with re-routed metadata)."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topic, **kw).items():
         reader = reader.option(k, v)
@@ -69,7 +80,10 @@ def read_kafka_cdc(
         F.col("value").cast("string").alias("value"),
         "timestamp",
     )
-    return parse_envelope(raw, "value")
+    env = parse_envelope(raw, "value")
+    if schema_name is not None and table is not None:
+        env = source_filter(env, schema_name, table)
+    return env
 
 
 def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
@@ -79,13 +93,34 @@ def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
 
 
 def to_kafka_records(env: DataFrame, key_col: str = "after.id") -> DataFrame:
-    """Project an envelope DataFrame to Kafka's (key, value) wire shape.
+    """Project a PARSED envelope DataFrame to Kafka's (key, value) wire shape.
 
     Key = PK string (partitioning/per-key order, README.md:841-842);
-    value = the full envelope as JSON. Delete events key on before.id.
+    value = the full envelope as JSON, INCLUDING the source block rebuilt
+    from the promoted metadata columns — without it a re-ingest of the
+    topic parses every event with ``_scn``/``_ssn`` NULL, the per-key
+    total order degenerates to op precedence, and a delete anywhere in a
+    key's history permanently beats later re-inserts (r15 code-review).
+    Delete events key on before.id.
     """
     key = F.coalesce(F.col(key_col), F.col("before.id")).cast("string")
+    source = F.struct(
+        F.col("_scn").alias("scn"),
+        F.col("_ssn").alias("ssn"),
+        F.col("_txid").alias("txId"),
+        F.col("_rowid").alias("rowId"),
+        F.col("_schema").alias("schema"),
+        F.col("_table").alias("table"),
+    )
     return env.select(
         key.alias("key"),
-        F.to_json(F.struct("before", "after", "op", "ts_ms")).alias("value"),
+        F.to_json(
+            F.struct(
+                F.col("before"),
+                F.col("after"),
+                F.col("op"),
+                F.col("ts_ms"),
+                source.alias("source"),
+            )
+        ).alias("value"),
     )

@@ -61,3 +61,18 @@ def test_avro_roundtrip_with_jar(spark):
     encoded = A.encode_avro_envelope(env)
     decoded = A.decode_avro_envelope(encoded, confluent_framing=False)
     assert decoded.count() == len(json_lines())
+
+
+def test_avro_envelope_schema_carries_ssn():
+    """r15 code-review: the Avro envelope must be field-for-field the
+    JSON envelope — omitting source.ssn made encode crash against parsed
+    envelopes and decode silently drop intra-transaction ordering (the
+    same-SCN delete-then-re-insert would compact to deleted)."""
+    import json as _json
+
+    from olr_cdc_oracle_with_dbz_spark.sources.avro import AVRO_ENVELOPE_SCHEMA
+
+    schema = _json.loads(AVRO_ENVELOPE_SCHEMA)
+    source = next(f for f in schema["fields"] if f["name"] == "source")
+    names = [f["name"] for f in source["type"]["fields"]]
+    assert "ssn" in names and names.index("ssn") == names.index("scn") + 1

@@ -303,3 +303,25 @@ def test_clustered_compaction_equivalent(spark, sf_dir):
         a2 = E.compact_latest(unw2, "id", keep_tombstones=True)
         b2 = E.compact_latest_clustered(unw2, "id", bucket, 8)
         assert norm(a2) == norm(b2)
+
+
+def test_incomplete_envelopes_quarantined_not_silently_dropped(spark):
+    """r15 code-review: a line missing op (or source) previously passed
+    the quarantine gate as 'good', got __deleted=NULL in unwrap, and
+    every ~__deleted filter silently dropped it — neither materialized
+    nor dead-lettered. Both now divert to quarantine."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import quarantine_malformed
+
+    lines = json_lines()
+    no_op = '{"after": {"id": 99}, "source": {"scn": 1, "schema": "OLR_DB", "table": "PRODUCT"}}'
+    no_source = '{"op": "c", "after": {"id": 98}}'
+    raw = spark.createDataFrame(
+        [(s,) for s in lines + [no_op, no_source]], "value string"
+    )
+    good, bad = quarantine_malformed(raw)
+    assert good.count() == len(lines)
+    assert bad.count() == 2
+    # the good side parses identically to the strict path (single-parse
+    # restructure must not change the output shape or values)
+    final = E.compact_latest(E.unwrap(E.source_filter(good)))
+    assert final.count() == len(EXPECTED_FINAL)

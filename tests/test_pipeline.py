@@ -286,3 +286,28 @@ def test_config_pipeline_hadoop_fs_sink(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported sink fs"):
         run_pipeline(spark, cfg("tbl_bad", "nfs"))
+
+
+def test_schema_registry_old_version_reregister_returns_existing(tmp_path):
+    """r15 code-review (Confluent semantics): a restarted OLD connector
+    re-registering a superseded schema gets that schema's EXISTING
+    version — minting a new highest version would roll current() back
+    and silently null the evolved columns out of every later event."""
+    reg = SchemaRegistry(str(tmp_path), "OLR_DB.PRODUCT")
+    v1 = reg.register("id bigint, name string")
+    v2 = reg.register("id bigint, name string, category string")
+    assert (v1, v2) == (1, 2)
+    # the old connector comes back up and re-registers its old schema
+    assert reg.register("id bigint, name string") == 1
+    assert reg.current_version() == 2  # evolution is NOT rolled back
+    assert reg.versions() == [1, 2]
+
+
+def test_schema_additivity_with_parenthesized_types(tmp_path):
+    """r15 code-review: decimal(10,2)'s inner comma must not split the
+    field list — the engine's own envelope casts price to decimal(10,2)."""
+    reg = SchemaRegistry(str(tmp_path), "OLR_DB.KV")
+    v1 = reg.register("id bigint, price decimal(10,2)")
+    v2 = reg.register("id bigint, price decimal(10,2), note varchar(64)")
+    assert reg.is_additive(v1, v2)
+    assert not reg.is_additive(v2, v1)

@@ -341,3 +341,33 @@ def test_monitor_bounded_window_exact_totals():
     assert len(mon.batches) == 3
     assert [b.batch_id for b in mon.batches] == [7, 8, 9]
     assert mon.total_rows() == 100
+
+
+def test_kafka_wire_records_roundtrip_preserves_order_metadata(spark):
+    """r15 code-review: the produced value must carry the source block —
+    re-ingesting a topic written without it parses every event with
+    _scn/_ssn NULL, the per-key total order degenerates to op precedence,
+    and a delete anywhere in a key's history beats later re-inserts."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
+        compact_latest,
+        parse_envelope,
+        source_filter,
+        unwrap,
+    )
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import EXPECTED_FINAL
+
+    env = _envelopes(spark)
+    wire = to_kafka_records(env).select(F.col("value"))
+    re_ingested = source_filter(parse_envelope(wire, "value"))
+    assert re_ingested.filter(F.col("_scn").isNull()).count() == 0
+    # txid round-trips where the original event carried one (snapshot
+    # 'r' events legitimately have none)
+    assert (
+        re_ingested.filter(
+            (F.col("op") != "r") & F.col("_txid").isNull()
+        ).count()
+        == 0
+    )
+    # the re-ingested stream compacts to the same golden state
+    final = compact_latest(unwrap(re_ingested))
+    assert final.count() == len(EXPECTED_FINAL)
