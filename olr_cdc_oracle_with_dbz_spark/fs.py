@@ -251,9 +251,21 @@ class HadoopFS:
         dst = self._path(path)
         out = self._fs(tmp).create(tmp, True)
         try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+        except Exception:
+            # No temp litter on a failed write/close (r15 ADVICE): delete
+            # the partial temp before re-raising, mirroring the
+            # create_exclusive object-store path and the LocalFS rule —
+            # a finalized partial temp would otherwise sit next to real
+            # state files until a vacuum sweep.
+            try:
+                self._fs(tmp).delete(tmp, False)
+            except Exception:
+                pass  # best-effort cleanup; the original error propagates
+            raise
         return tmp, dst
 
     def _file_context(self):

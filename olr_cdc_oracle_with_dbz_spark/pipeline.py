@@ -105,7 +105,14 @@ def run_pipeline(
         envelope_ddl = reg.current()
 
     table = ParquetUpsertTable(
-        spark, sink["table_dir"], key=sink.get("pk", PK), fs=fs
+        spark,
+        sink["table_dir"],
+        key=sink.get("pk", PK),
+        fs=fs,
+        # replay identity (r15 ADVICE): a fresh checkpoint reprocessing
+        # into this table dir raises on a batch-id label collision
+        # instead of silently no-op'ing the colliding batch
+        stream_id=f"ckpt:{config['checkpoint']}",
     )
 
     if "quarantine" in config:
@@ -239,7 +246,16 @@ def run_fanout_pipeline(
 
     fs = _sink_fs(spark, config["sink"])
     sinks = {
-        t: ParquetUpsertTable(spark, f"{root}/{t}", key=key, fs=fs) for t in tables
+        # one shared checkpoint drives every per-table sink, so they share
+        # its replay identity (r15 ADVICE — see run_pipeline)
+        t: ParquetUpsertTable(
+            spark,
+            f"{root}/{t}",
+            key=key,
+            fs=fs,
+            stream_id=f"ckpt:{config['checkpoint']}",
+        )
+        for t in tables
     }
     # Per-table spool threshold (same sink knob as run_pipeline). Fanout is
     # where it matters most: routing splits every micro-batch N ways, so

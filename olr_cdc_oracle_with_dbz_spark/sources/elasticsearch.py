@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def es_bulk_payload(df: DataFrame, index: str, id_col: str, deleted_flag: str = "__deleted") -> DataFrame:
+def es_bulk_payload(
+    df: DataFrame,
+    index: str,
+    id_col: str,
+    deleted_flag: str = "__deleted",
+    on_null_id: str = "error",
+) -> DataFrame:
     """Render each row as an ES bulk-API action+source pair (one string).
 
     Upserts become ``index`` actions keyed by ``id_col`` (idempotent —
@@ -34,10 +40,37 @@ def es_bulk_payload(df: DataFrame, index: str, id_col: str, deleted_flag: str = 
     a quote or backslash would otherwise produce malformed NDJSON and ES
     rejects the whole ``_bulk`` request with a 400, wedging the stream on
     retry (r15 code-review).
+
+    A null ``id_col`` must not reach rendering: ``to_json`` omits null
+    struct fields, so a null id would yield an ``index`` action with no
+    ``_id`` (ES auto-generates one — silently breaking idempotent
+    micro-batch replay with duplicate docs) and a ``delete`` action with
+    no ``_id`` (400-fails the whole ``_bulk`` request) (r15 ADVICE).
+    ``on_null_id="error"`` (default) raises executor-side via
+    ``raise_error`` — fail fast, whole-stage-codegen friendly, no extra
+    pass over the data. ``on_null_id="drop"`` excludes those rows; the
+    caller is then responsible for diverting
+    ``df.filter(F.col(id_col).isNull())`` to a dead-letter stream first.
     """
+    id_str = F.col(id_col).cast("string")
+    if on_null_id == "error":
+        id_str = F.when(
+            id_str.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"es_bulk_payload: null {id_col!r} — cannot render an "
+                    "id-keyed bulk action (would break idempotent replay); "
+                    "divert null-id rows or use on_null_id='drop'"
+                )
+            ),
+        ).otherwise(id_str)
+    elif on_null_id == "drop":
+        df = df.filter(F.col(id_col).isNotNull())
+    else:
+        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
     meta = F.struct(
         F.lit(index).alias("_index"),
-        F.col(id_col).cast("string").alias("_id"),
+        id_str.alias("_id"),
     )
     action = F.when(
         F.col(deleted_flag),

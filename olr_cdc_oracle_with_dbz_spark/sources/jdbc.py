@@ -165,6 +165,13 @@ class JdbcIncrementalSource:
         materialized by the max() pass, so the source query runs ONCE per
         poll and the delivered rows are exactly the rows the watermark
         was computed over.
+
+        CALLING ``poll()`` AGAIN IMPLIES THE PREVIOUS BATCH WAS DELIVERED
+        — it commits the pending watermark first. A delivery-failure
+        handler that wants to re-poll the SAME rows must call
+        :meth:`rollback` before re-polling, otherwise the undelivered
+        batch is durably skipped (r15 ADVICE — the in-process
+        at-least-once hole when retrying without a restart).
         """
         self.commit()  # previous batch was delivered: its watermark lands
         wm = self._read_state()
@@ -195,6 +202,24 @@ class JdbcIncrementalSource:
         if self._pending_wm is not None:
             self._write_state(self._pending_wm)
             self._pending_wm = None
+        if self._pending_batch is not None:
+            self._pending_batch.unpersist()
+            self._pending_batch = None
+
+    def rollback(self) -> None:
+        """Abandon the last ``poll()``'s pending watermark WITHOUT
+        persisting it, so the next ``poll()`` re-reads the same rows.
+
+        This is the delivery-failure path (r15 ADVICE): ``poll()``
+        unconditionally commits the pending watermark on entry, so a
+        handler that retries a failed downstream delivery by simply
+        polling again would durably skip the undelivered batch. Call
+        ``rollback()`` in the failure handler instead, then re-poll —
+        the stored watermark is untouched, the re-poll re-delivers, and
+        the downstream idempotent MERGE absorbs any rows that DID land
+        before the failure. Idempotent; a no-op when nothing is pending.
+        """
+        self._pending_wm = None
         if self._pending_batch is not None:
             self._pending_batch.unpersist()
             self._pending_batch = None

@@ -107,6 +107,7 @@ class ParquetUpsertTable:
         fs=None,
         retain_commits: int | None = None,
         vacuum_grace_sec: float | None = None,
+        stream_id: str | None = None,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
@@ -162,11 +163,26 @@ class ParquetUpsertTable:
         0 restores unconditional vacuuming (tests exercising rapid
         retention use this; they are single-threaded, so the race the
         grace exists to close cannot occur there).
+
+        ``stream_id``: identity of the writing stream/checkpoint, stamped
+        into every commit record (r15 ADVICE). The replay short-circuit
+        keys on the head's version label equalling ``v{batch_id}``; with
+        no identity, reprocessing a source from a FRESH checkpoint
+        against an existing table dir silently no-ops the one batch
+        whose id collides with the head — silent data loss. With an
+        identity, a label collision from a DIFFERENT stream raises
+        instead. Use the Structured Streaming ``query.id`` (stable
+        across restarts from the same checkpoint) or the checkpoint
+        path; :func:`materialize_stream` auto-derives the latter when
+        the handle has none. Same posture as Delta's ``txnAppId``
+        idempotent-write key. None preserves the label-only check (and
+        records with no stored id — pre-r16 tables — never raise).
         """
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
+        self.stream_id = stream_id
         self.retain_commits = (
             self.DEFAULT_RETAIN_COMMITS if retain_commits is None else retain_commits
         )
@@ -418,13 +434,17 @@ class ParquetUpsertTable:
                 f"the head (silent lost update). Re-derive from the live "
                 f"head and retry"
             )
-        record = json.dumps(
-            {
-                "version": version,
-                "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
-                "buckets": buckets,
-            }
-        )
+        rec = {
+            "version": version,
+            "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
+            "buckets": buckets,
+        }
+        if self.stream_id is not None:
+            # replay-identity key (r15 ADVICE): lets merge_batch tell a
+            # genuine replay of THIS stream's batch from a label collision
+            # by a different stream reprocessing into the same table dir
+            rec["stream_id"] = self.stream_id
+        record = json.dumps(rec)
         if not self.fs.create_exclusive(self._commit_path(seq), record):
             if self._record(seq) is None:
                 # Either the occupying record is unreadable (a writer died
@@ -837,10 +857,30 @@ class ParquetUpsertTable:
         monotonic — reprocessing a source from a FRESH checkpoint against
         an existing table dir reuses old labels; point it at a new table
         dir (or ``compact()`` first, which relabels the head) instead.
+        When both the handle and the head record carry a ``stream_id``
+        (r15 ADVICE), that consequence is ENFORCED rather than silent: a
+        label collision from a different stream raises instead of
+        no-op'ing the colliding batch away. Records or handles without an
+        id keep the label-only check (pre-r16 tables, ad-hoc batch use).
         """
         label = f"v{batch_id:020d}"
         parent_seq, manifest = self._head()  # fence token for _commit
         if manifest is not None and manifest.get("version") == label:
+            theirs = manifest.get("stream_id")
+            if (
+                self.stream_id is not None
+                and theirs is not None
+                and theirs != self.stream_id
+            ):
+                raise RuntimeError(
+                    f"batch-id collision on {self.table_dir}: head commit "
+                    f"{label} was written by stream {theirs!r} but this "
+                    f"handle is stream {self.stream_id!r} — a fresh "
+                    f"checkpoint is reprocessing into an existing table "
+                    f"dir, and treating this as a replay would silently "
+                    f"drop the batch. Point the new stream at a new table "
+                    f"dir, or compact() first (relabels the head)"
+                )
             return  # this batch's commit is already durable: replay no-op
         if manifest is not None:
             committed = manifest.get("n_buckets", self.n_buckets)
@@ -1078,7 +1118,15 @@ def materialize_stream(
     undersized micro-batches in the spool and MERGE once the staged total
     crosses the threshold — call ``table.flush_spool(...)`` after the
     stream terminates to publish a sub-threshold tail.
+
+    A handle with no ``stream_id`` adopts the checkpoint path as its
+    replay identity (r15 ADVICE): stable across restarts from the same
+    checkpoint, distinct for a fresh checkpoint elsewhere — so a fresh
+    stream reprocessing into an existing table dir raises on a batch-id
+    label collision instead of silently dropping the batch.
     """
+    if table.stream_id is None:
+        table.stream_id = f"ckpt:{checkpoint_dir}"
     writer = (
         env_stream.writeStream.outputMode("update")
         .foreachBatch(table.foreach_batch(min_batch_events=min_batch_events))

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
 from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTable
 
@@ -703,3 +705,37 @@ def test_lost_create_after_vacuum_classified_stale(spark, tmp_path):
     with pytest.raises(RuntimeError, match="stale writer"):
         t._commit("v_stale", {"0": "v_stale/pb=0"}, expect_parent=2)
     assert fs.fired
+
+
+def test_replay_cross_stream_label_collision_raises(spark, tmp_path):
+    """r15 ADVICE: the replay short-circuit keys on the head's label
+    equalling v{batch_id}, so a FRESH checkpoint reprocessing into an
+    existing table dir would silently no-op the one batch whose id
+    collides with the head — silent data loss. With a stream_id stamped
+    in the commit record, the collision raises instead; the SAME stream
+    replaying keeps the no-op; id-less handles/records keep the old
+    (documented) behavior."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="s1")
+    t.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+    t.merge_batch(_frame(spark, [(2, "b", 200, False)]), 2)
+
+    # same stream, same batch id: genuine replay, still a no-op
+    head = t._head()
+    t.merge_batch(_frame(spark, [(2, "b", 200, False)]), 2)
+    assert t._head() == head
+
+    # different stream, colliding batch id: must raise, not drop the batch
+    fresh = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s2")
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
+
+    # id-less handle against an id-stamped record: documented legacy no-op
+    legacy = ParquetUpsertTable(spark, tdir, key="id", fs=fs)
+    legacy.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
+    assert 9 not in {r["id"] for r in legacy.read().collect()}
+
+    # non-colliding batch ids from the new stream commit normally
+    fresh.merge_batch(_frame(spark, [(3, "c", 300, False)]), 3)
+    assert {r["id"] for r in fresh.read().collect()} == {1, 2, 3}

@@ -362,3 +362,20 @@ def test_lost_race_classified_by_java_class_not_message():
         RuntimeError("org.apache.hadoop.fs.UnsupportedFileSystemException: y"),
         "UnsupportedFileSystemException",
     )
+
+
+def test_hadoopfs_write_tmp_no_litter_on_failed_write(spark, tmp_path):
+    """r15 ADVICE: a failed content write inside _write_tmp must delete
+    the partial temp before re-raising (the no-temp-litter rule LocalFS
+    and the object-store create path already follow) — a finalized
+    partial temp would otherwise sit next to real state files until a
+    vacuum sweep."""
+    fs = HadoopFS(spark)
+    root = str(tmp_path / "litter")
+    fs.mkdirs(root)
+    dst = os.path.join(root, "_CURRENT")
+    # an unpaired surrogate cannot encode to UTF-8: the write fails after
+    # the temp stream is created
+    with pytest.raises(UnicodeEncodeError):
+        fs.write_text_atomic(dst, "\ud800")
+    assert fs.list_names(root) == []  # no temp litter, no destination

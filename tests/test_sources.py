@@ -371,3 +371,51 @@ def test_kafka_wire_records_roundtrip_preserves_order_metadata(spark):
     # the re-ingested stream compacts to the same golden state
     final = compact_latest(unwrap(re_ingested))
     assert final.count() == len(EXPECTED_FINAL)
+
+
+def test_es_bulk_payload_null_id_fails_fast(spark):
+    """r15 ADVICE: to_json omits null struct fields, so a null id would
+    render an index action with no _id (ES auto-generates one — silent
+    duplicate docs on micro-batch replay) and a delete action with no
+    _id (400-fails the whole _bulk). Null ids must fail fast executor-
+    side, or be explicitly dropped for callers that divert them."""
+    df = spark.createDataFrame(
+        [(1, "a", False), (None, "ghost", False), (None, "gone", True)],
+        "id bigint, name string, __deleted boolean",
+    )
+    with pytest.raises(Exception, match="null 'id'"):
+        es_bulk_payload(df, "products", "id").collect()
+
+    dropped = es_bulk_payload(df, "products", "id", on_null_id="drop").collect()
+    assert [r["_id"] for r in dropped] == [1]
+    with pytest.raises(ValueError, match="on_null_id"):
+        es_bulk_payload(df, "products", "id", on_null_id="bogus")
+
+
+def test_jdbc_rollback_repolls_undelivered_batch(spark, sf_dir, tmp_path):
+    """r15 ADVICE: poll() commits the pending watermark on entry, so a
+    delivery-failure handler that simply re-polls durably skips the
+    undelivered batch. rollback() abandons the pending watermark so the
+    re-poll re-delivers the same rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    state = str(tmp_path / "wm.json")
+
+    def load(pred):
+        return orders.filter(pred.replace('"', "`")).filter("o_orderkey <= 500")
+
+    src = JdbcIncrementalSource(spark, "o_orderkey", state, load)
+    first = src.poll().count()
+    assert first > 0
+
+    # downstream delivery failed: rollback, then re-poll the SAME rows
+    # from the SAME instance (no restart)
+    src.rollback()
+    assert src.poll().count() == first
+
+    # delivered this time: commit, and the next poll is empty
+    src.commit()
+    assert src.poll().count() == 0
+
+    # rollback with nothing pending is a safe no-op
+    src.rollback()
+    assert src.poll().count() == 0
