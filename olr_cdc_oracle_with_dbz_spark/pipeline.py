@@ -112,7 +112,7 @@ def run_pipeline(
         # replay identity (r15 ADVICE): a fresh checkpoint reprocessing
         # into this table dir raises on a batch-id label collision
         # instead of silently no-op'ing the colliding batch
-        stream_id=f"ckpt:{config['checkpoint']}",
+        stream_id=f"ckpt:{config['checkpoint'].rstrip('/')}",
     )
 
     if "quarantine" in config:
@@ -253,7 +253,7 @@ def run_fanout_pipeline(
             f"{root}/{t}",
             key=key,
             fs=fs,
-            stream_id=f"ckpt:{config['checkpoint']}",
+            stream_id=f"ckpt:{config['checkpoint'].rstrip('/')}",
         )
         for t in tables
     }

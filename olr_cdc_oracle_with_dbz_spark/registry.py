@@ -104,8 +104,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     #     short-circuit now records a stream run-id in the commit record and
     #     raises on cross-stream label collision, ADVICE r15), fs.py
     #     (HadoopFS._write_tmp no longer litters a partial temp on write
-    #     failure), and sources/jdbc.py (rollback()/abandon() for the
-    #     pending watermark). q52 merges through the upsert table + commit
+    #     failure), and sources/jdbc.py (rollback() for the pending
+    #     watermark). q52 merges through the upsert table + commit
     #     log; q50b exercises the evolved-envelope path through the same
     #     protocol; q53 runs the JDBC-shaped snapshot+incremental path.
     "q52_upsert_compaction",

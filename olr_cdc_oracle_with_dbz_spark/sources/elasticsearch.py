@@ -95,6 +95,7 @@ def es_sink(
     batch_actions: int = 1000,
     timeout_sec: float = 30.0,
     deleted_flag: str = "__deleted",
+    on_null_id: str = "error",
 ):
     """foreachBatch ES sink: bulk POST per partition via stdlib urllib.
 
@@ -104,6 +105,14 @@ def es_sink(
     response with ``"errors": true`` (or a transport failure) raises, so
     Structured Streaming retries the micro-batch; actions are id-keyed
     index/delete ops, making the retry idempotent.
+
+    ``on_null_id`` passes through to :func:`es_bulk_payload` (r16
+    review): the default ``"error"`` fails the micro-batch on a null id
+    — right for sources whose key is a real PK — but a stream that can
+    legitimately carry null ids would wedge in a raise/retry loop, so
+    such callers pass ``"drop"`` and divert
+    ``batch.filter(F.col(id_col).isNull())`` to a dead-letter sink in a
+    wrapping foreachBatch of their own.
     """
     url = f"http://{hosts}/_bulk"
 
@@ -141,7 +150,7 @@ def es_sink(
         flush()
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        es_bulk_payload(batch, index, id_col, deleted_flag).select(
+        es_bulk_payload(batch, index, id_col, deleted_flag, on_null_id).select(
             "bulk"
         ).foreachPartition(post_partition)
 

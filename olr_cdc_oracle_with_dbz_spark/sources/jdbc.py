@@ -220,9 +220,7 @@ class JdbcIncrementalSource:
         before the failure. Idempotent; a no-op when nothing is pending.
         """
         self._pending_wm = None
-        if self._pending_batch is not None:
-            self._pending_batch.unpersist()
-            self._pending_batch = None
+        self.commit()  # nothing pending now: just releases the batch cache
 
 
 def upsert_statement(

@@ -833,6 +833,50 @@ class ParquetUpsertTable:
                 dropped.append(os.path.basename(self._commit_path(s)))
         return dropped
 
+    def _committed_by(self, label: str) -> dict | None:
+        """The newest retained commit record whose version is ``label``,
+        or None. A non-None result means the label's version dir holds
+        COMMITTED rows already folded into the head lineage."""
+        for s in reversed(self._commit_seqs()):
+            r = self._record(s)
+            if r is not None and r.get("version") == label:
+                return r
+        return None
+
+    def _referenced_by(self, label: str, head: dict | None) -> str | None:
+        """Why an existing-but-uncommitted ``table_dir/<label>`` dir must
+        still not be overwritten, or None when it is a safe orphan (a
+        dead writer's data whose commit never landed — the
+        idempotent-retry case, where re-running the write is the POINT).
+
+        A version dir stays live long after its own commit record is
+        gone: merges carry untouched buckets' labels forward, so any
+        RETAINED record's bucket map (the head's included) can reference
+        a dir whose own commit the vacuum already dropped. Overwriting
+        one loses committed rows (the r16 review's
+        fresh-stream-at-batch-0 scenario: head at v5 whose map still
+        references v0/pb=k — the head-label collision check alone never
+        fires, but the overwrite of v0 destroys live data). Only
+        consulted when the output dir already exists, so the healthy
+        merge path pays nothing; the record scan is bounded by vacuum
+        retention.
+        """
+        if head is not None and head.get("version") == label:
+            return "it is the live head version"  # legacy-pointer tables
+        for s in reversed(self._commit_seqs()):
+            r = self._record(s)
+            if r is not None and any(
+                rel.startswith(f"{label}/")
+                for rel in r.get("buckets", {}).values()
+            ):
+                return f"commit record {s}'s bucket map references it"
+        if head is not None and any(
+            rel.startswith(f"{label}/")
+            for rel in head.get("buckets", {}).values()
+        ):
+            return "the live head's bucket map references it"
+        return None
+
     # -- write side --------------------------------------------------------
     def _bucket_col(self, n_buckets: int | None = None):
         n = self.n_buckets if n_buckets is None else n_buckets
@@ -879,7 +923,9 @@ class ParquetUpsertTable:
                     f"checkpoint is reprocessing into an existing table "
                     f"dir, and treating this as a replay would silently "
                     f"drop the batch. Point the new stream at a new table "
-                    f"dir, or compact() first (relabels the head)"
+                    f"dir, or compact() then vacuum() first (re-roots "
+                    f"every bucket under a fresh label and retires the "
+                    f"old records)"
                 )
             return  # this batch's commit is already durable: replay no-op
         if manifest is not None:
@@ -938,6 +984,48 @@ class ParquetUpsertTable:
             src, self.key, F.col(_PB), len(touched)
         )
         out = os.path.join(self.table_dir, label)
+        if self.fs.exists(out):
+            # existing dir (r16 review; only paid on the rare exists
+            # path). Three cases: (1) the label is COMMITTED by a
+            # retained record below head — same stream means a replay of
+            # a batch whose rows a later compact/merge already folded
+            # into the head lineage (no-op, same posture as the
+            # head-label short-circuit), a different stream means a
+            # fresh checkpoint reusing the batch-id space (raise);
+            # (2) uncommitted but some retained record's bucket map
+            # still references it — overwriting destroys committed rows
+            # (raise); (3) a true orphan from a writer that died before
+            # its commit landed — overwrite IS the idempotent retry.
+            owner = self._committed_by(label)
+            if owner is not None:
+                theirs = owner.get("stream_id")
+                if (
+                    self.stream_id is not None
+                    and theirs is not None
+                    and theirs != self.stream_id
+                ):
+                    raise RuntimeError(
+                        f"batch-id collision on {self.table_dir}: "
+                        f"{label} was committed by stream {theirs!r} "
+                        f"but this handle is stream {self.stream_id!r} "
+                        f"— a fresh checkpoint is reprocessing into an "
+                        f"existing table dir. Point the new stream at a "
+                        f"new table dir, or compact() then vacuum() "
+                        f"first (re-roots every bucket under a fresh "
+                        f"label and retires the old records)"
+                    )
+                return  # committed replay below head: rows already live
+            reason = self._referenced_by(label, manifest)
+            if reason is not None:
+                raise RuntimeError(
+                    f"version-dir collision on {self.table_dir}: writing "
+                    f"batch {batch_id} would overwrite {label}, but "
+                    f"{reason} — a fresh checkpoint is reusing an "
+                    f"existing table's batch-id space. Point the new "
+                    f"stream at a new table dir, or compact() then "
+                    f"vacuum() first (re-roots every bucket under a "
+                    f"fresh label and retires the old records)"
+                )
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
             buckets[str(b)] = f"{label}/{_PB}={b}"
@@ -1123,10 +1211,25 @@ def materialize_stream(
     replay identity (r15 ADVICE): stable across restarts from the same
     checkpoint, distinct for a fresh checkpoint elsewhere — so a fresh
     stream reprocessing into an existing table dir raises on a batch-id
-    label collision instead of silently dropping the batch.
+    label collision instead of silently dropping the batch. The path is
+    canonicalized only by stripping trailing separators (r16 review: a
+    resume spelled ``/ckpt/x/`` must not read as a different stream
+    than ``/ckpt/x`` and wedge every restart; full normpath would
+    mangle ``hdfs://`` URIs). Limits, same as Delta's ``txnAppId``: a
+    checkpoint WIPED and recreated at the same path carries the same
+    identity, so its batch-0 collision still reads as a replay — the
+    version-dir guard in :meth:`ParquetUpsertTable.merge_batch` catches
+    the destructive cases, and callers needing strict identity pass an
+    explicit per-run ``stream_id`` (e.g. the StreamingQuery's
+    ``query.id``). An id AUTO-derived by a previous materialize_stream
+    call is re-derived for this run's checkpoint (not reused), so one
+    handle driven through two checkpoints never stamps the first
+    stream's identity on the second.
     """
-    if table.stream_id is None:
-        table.stream_id = f"ckpt:{checkpoint_dir}"
+    auto_id = f"ckpt:{checkpoint_dir.rstrip('/')}"
+    if table.stream_id is None or getattr(table, "_auto_stream_id", False):
+        table.stream_id = auto_id
+        table._auto_stream_id = True
     writer = (
         env_stream.writeStream.outputMode("update")
         .foreachBatch(table.foreach_batch(min_batch_events=min_batch_events))

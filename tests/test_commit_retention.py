@@ -739,3 +739,103 @@ def test_replay_cross_stream_label_collision_raises(spark, tmp_path):
     # non-colliding batch ids from the new stream commit normally
     fresh.merge_batch(_frame(spark, [(3, "c", 300, False)]), 3)
     assert {r["id"] for r in fresh.read().collect()} == {1, 2, 3}
+
+
+def test_overwrite_of_referenced_version_dir_raises(spark, tmp_path):
+    """r16 review: the cross-stream collision check keys on the HEAD
+    label, but a fresh stream starting BELOW the head (batch 0 against a
+    head at v3) passes it and its mode('overwrite') write would destroy
+    a version dir that live commits still reference (the head's bucket
+    map carries untouched buckets' labels forward; retained records pin
+    their dirs for time travel). merge_batch must refuse to overwrite:
+    a label COMMITTED by a retained record raises cross-stream (and
+    no-ops as a replay same-stream); a label whose own record is gone
+    but whose dir some retained bucket map still references raises
+    regardless of stream; a true orphan (no record anywhere) stays
+    overwritable — the idempotent retry of this stream's own failed
+    write."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="s1")
+    t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False) for i in range(8)]), 1)
+    t.merge_batch(_frame(spark, [(0, "upd", 200, False)]), 2)
+    t.merge_batch(_frame(spark, [(1, "upd", 201, False)]), 3)
+
+    # fresh stream, batch id below the head: the head-label check never
+    # fires, but record 1 still commits v...1 -> raise, nothing written
+    fresh = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s2")
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 1)
+    assert {r["id"] for r in t.read().collect()} == set(range(8))
+
+    # same stream replaying a committed below-head batch: no-op, no raise
+    head = t._head()
+    t.merge_batch(_frame(spark, [(0, "n0", 100, False)]), 2)
+    assert t._head() == head
+
+    # drop record 1 (vacuum) -- v...1's dirs stay referenced by the
+    # retained records' bucket maps; overwriting them must still raise,
+    # for EITHER stream (the label is now uncommitted-but-live)
+    t.vacuum(keep=2)
+    assert t._committed_by(f"v{1:020d}") is None
+    with pytest.raises(RuntimeError, match="version-dir collision"):
+        fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 1)
+    with pytest.raises(RuntimeError, match="version-dir collision"):
+        t.merge_batch(_frame(spark, [(9, "z", 900, False)]), 1)
+    assert {r["id"] for r in t.read().collect()} == set(range(8))
+
+    # the idempotent-retry case stays allowed: an orphan version dir from
+    # a writer that died before its commit landed has no record -> the
+    # re-run of the same batch overwrites it and commits
+    orphan = os.path.join(tdir, f"v{5:020d}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale.txt"), "w") as f:
+        f.write("dead writer litter")
+    t.merge_batch(_frame(spark, [(8, "e", 500, False)]), 5)
+    assert {r["id"] for r in t.read().collect()} == set(range(9))
+
+
+def test_materialize_stream_id_canonical_and_rederived(spark, tmp_path):
+    """r16 review: (a) the auto-derived replay identity strips trailing
+    separators, so a resume spelled ``/ckpt/x/`` reads as the SAME
+    stream as ``/ckpt/x`` (a spelling difference must not wedge every
+    restart on a spurious collision); (b) an id auto-derived by a
+    previous materialize_stream call is re-derived for a new
+    checkpoint, not reused (else stream B stamps stream A's identity
+    and the collision guard is silently bypassed); (c) an explicit id
+    is never clobbered."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import parse_envelope
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import json_lines
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        materialize_stream,
+        run_to_completion,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json_lines()[:1]) + "\n")
+    env = parse_envelope(spark.readStream.format("text").load(str(src)), "value")
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id", n_buckets=4)
+    q = materialize_stream(env, t, str(tmp_path / "ckpt") + "/", trigger_once=True)
+    run_to_completion(q, t, timeout_sec=120)
+    assert t.stream_id == f"ckpt:{tmp_path / 'ckpt'}"  # trailing slash stripped
+    assert t._auto_stream_id
+
+    # same handle, new checkpoint over an EMPTY source: the auto id
+    # follows the run instead of stamping the first stream's identity
+    empty = tmp_path / "in2"
+    empty.mkdir()
+    env2 = parse_envelope(spark.readStream.format("text").load(str(empty)), "value")
+    q2 = materialize_stream(env2, t, str(tmp_path / "ckpt2"), trigger_once=True)
+    run_to_completion(q2, t, timeout_sec=120)
+    assert t.stream_id == f"ckpt:{tmp_path / 'ckpt2'}"
+
+    # an EXPLICIT id is never clobbered
+    t2 = ParquetUpsertTable(
+        spark, str(tmp_path / "tbl2"), key="id", n_buckets=4, stream_id="mine"
+    )
+    q3 = materialize_stream(env2, t2, str(tmp_path / "ckpt3"), trigger_once=True)
+    run_to_completion(q3, t2, timeout_sec=120)
+    assert t2.stream_id == "mine"
+    assert not getattr(t2, "_auto_stream_id", False)
