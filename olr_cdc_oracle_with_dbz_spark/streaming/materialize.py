@@ -833,6 +833,20 @@ class ParquetUpsertTable:
                 dropped.append(os.path.basename(self._commit_path(s)))
         return dropped
 
+    @staticmethod
+    def _other_stream(mine: str | None, theirs: str | None) -> bool:
+        """True iff both replay identities are present and name DIFFERENT
+        streams. Compared with trailing separators stripped from BOTH
+        sides (r16 review #2): records stamped by a release that derived
+        ids verbatim from a slash-spelled checkpoint must keep comparing
+        equal to the canonicalized form, or every restart of that stream
+        wedges on a spurious collision."""
+        return (
+            mine is not None
+            and theirs is not None
+            and mine.rstrip("/") != theirs.rstrip("/")
+        )
+
     def _committed_by(self, label: str) -> dict | None:
         """The newest retained commit record whose version is ``label``,
         or None. A non-None result means the label's version dir holds
@@ -843,11 +857,14 @@ class ParquetUpsertTable:
                 return r
         return None
 
-    def _referenced_by(self, label: str, head: dict | None) -> str | None:
-        """Why an existing-but-uncommitted ``table_dir/<label>`` dir must
-        still not be overwritten, or None when it is a safe orphan (a
-        dead writer's data whose commit never landed — the
-        idempotent-retry case, where re-running the write is the POINT).
+    def _label_conflict(
+        self, label: str, head: dict | None
+    ) -> tuple[dict | None, str | None]:
+        """Why an existing ``table_dir/<label>`` dir must not be blindly
+        overwritten: ``(committing record or None, referenced-reason or
+        None)`` in ONE pass over the retained log. Both None means a
+        safe orphan — a dead writer's data whose commit never landed,
+        where re-running the write IS the idempotent retry.
 
         A version dir stays live long after its own commit record is
         gone: merges carry untouched buckets' labels forward, so any
@@ -861,21 +878,29 @@ class ParquetUpsertTable:
         merge path pays nothing; the record scan is bounded by vacuum
         retention.
         """
+        owner: dict | None = None
+        ref: str | None = None
         if head is not None and head.get("version") == label:
-            return "it is the live head version"  # legacy-pointer tables
+            ref = "it is the live head version"  # legacy-pointer tables
         for s in reversed(self._commit_seqs()):
             r = self._record(s)
-            if r is not None and any(
+            if r is None:
+                continue
+            if owner is None and r.get("version") == label:
+                owner = r
+            if ref is None and any(
                 rel.startswith(f"{label}/")
                 for rel in r.get("buckets", {}).values()
             ):
-                return f"commit record {s}'s bucket map references it"
-        if head is not None and any(
+                ref = f"commit record {s}'s bucket map references it"
+            if owner is not None and ref is not None:
+                break
+        if ref is None and head is not None and any(
             rel.startswith(f"{label}/")
             for rel in head.get("buckets", {}).values()
         ):
-            return "the live head's bucket map references it"
-        return None
+            ref = "the live head's bucket map references it"
+        return owner, ref
 
     # -- write side --------------------------------------------------------
     def _bucket_col(self, n_buckets: int | None = None):
@@ -910,24 +935,59 @@ class ParquetUpsertTable:
         label = f"v{batch_id:020d}"
         parent_seq, manifest = self._head()  # fence token for _commit
         if manifest is not None and manifest.get("version") == label:
-            theirs = manifest.get("stream_id")
-            if (
-                self.stream_id is not None
-                and theirs is not None
-                and theirs != self.stream_id
-            ):
+            if self._other_stream(self.stream_id, manifest.get("stream_id")):
                 raise RuntimeError(
                     f"batch-id collision on {self.table_dir}: head commit "
-                    f"{label} was written by stream {theirs!r} but this "
-                    f"handle is stream {self.stream_id!r} — a fresh "
-                    f"checkpoint is reprocessing into an existing table "
-                    f"dir, and treating this as a replay would silently "
-                    f"drop the batch. Point the new stream at a new table "
-                    f"dir, or compact() then vacuum() first (re-roots "
-                    f"every bucket under a fresh label and retires the "
-                    f"old records)"
+                    f"{label} was written by stream "
+                    f"{manifest.get('stream_id')!r} but this handle is "
+                    f"stream {self.stream_id!r} — a fresh checkpoint is "
+                    f"reprocessing into an existing table dir, and "
+                    f"treating this as a replay would silently drop the "
+                    f"batch. Point the new stream at a new table dir, or "
+                    f"compact() then vacuum(keep=1) first (re-roots every "
+                    f"bucket under a fresh label and retires the old "
+                    f"records)"
                 )
             return  # this batch's commit is already durable: replay no-op
+        out = os.path.join(self.table_dir, label)
+        if self.fs.exists(out):
+            # existing below-head dir, checked BEFORE any Spark job runs
+            # over the batch (r16 review; only paid on the rare exists
+            # path). Three cases: (1) the label is COMMITTED by a
+            # retained record — same stream means a replay of a batch
+            # whose rows a later compact/merge already folded into the
+            # head lineage (no-op, same posture as the head-label
+            # short-circuit), a different stream means a fresh checkpoint
+            # reusing the batch-id space (raise); (2) uncommitted but
+            # some retained record's bucket map still references it —
+            # overwriting destroys committed rows (raise); (3) a true
+            # orphan from a writer that died before its commit landed —
+            # overwrite IS the idempotent retry.
+            owner, ref = self._label_conflict(label, manifest)
+            if owner is not None:
+                if self._other_stream(self.stream_id, owner.get("stream_id")):
+                    raise RuntimeError(
+                        f"batch-id collision on {self.table_dir}: "
+                        f"{label} was committed by stream "
+                        f"{owner.get('stream_id')!r} but this handle is "
+                        f"stream {self.stream_id!r} — a fresh checkpoint "
+                        f"is reprocessing into an existing table dir. "
+                        f"Point the new stream at a new table dir, or "
+                        f"compact() then vacuum(keep=1) first (re-roots "
+                        f"every bucket under a fresh label and retires "
+                        f"the old records)"
+                    )
+                return  # committed replay below head: rows already live
+            if ref is not None:
+                raise RuntimeError(
+                    f"version-dir collision on {self.table_dir}: writing "
+                    f"batch {batch_id} would overwrite {label}, but "
+                    f"{ref} — a fresh checkpoint is reusing an existing "
+                    f"table's batch-id space. Point the new stream at a "
+                    f"new table dir, or compact() then vacuum(keep=1) "
+                    f"first (re-roots every bucket under a fresh label "
+                    f"and retires the old records)"
+                )
         if manifest is not None:
             committed = manifest.get("n_buckets", self.n_buckets)
             if committed != self.n_buckets:
@@ -983,49 +1043,6 @@ class ParquetUpsertTable:
         new_state = compact_latest_clustered(
             src, self.key, F.col(_PB), len(touched)
         )
-        out = os.path.join(self.table_dir, label)
-        if self.fs.exists(out):
-            # existing dir (r16 review; only paid on the rare exists
-            # path). Three cases: (1) the label is COMMITTED by a
-            # retained record below head — same stream means a replay of
-            # a batch whose rows a later compact/merge already folded
-            # into the head lineage (no-op, same posture as the
-            # head-label short-circuit), a different stream means a
-            # fresh checkpoint reusing the batch-id space (raise);
-            # (2) uncommitted but some retained record's bucket map
-            # still references it — overwriting destroys committed rows
-            # (raise); (3) a true orphan from a writer that died before
-            # its commit landed — overwrite IS the idempotent retry.
-            owner = self._committed_by(label)
-            if owner is not None:
-                theirs = owner.get("stream_id")
-                if (
-                    self.stream_id is not None
-                    and theirs is not None
-                    and theirs != self.stream_id
-                ):
-                    raise RuntimeError(
-                        f"batch-id collision on {self.table_dir}: "
-                        f"{label} was committed by stream {theirs!r} "
-                        f"but this handle is stream {self.stream_id!r} "
-                        f"— a fresh checkpoint is reprocessing into an "
-                        f"existing table dir. Point the new stream at a "
-                        f"new table dir, or compact() then vacuum() "
-                        f"first (re-roots every bucket under a fresh "
-                        f"label and retires the old records)"
-                    )
-                return  # committed replay below head: rows already live
-            reason = self._referenced_by(label, manifest)
-            if reason is not None:
-                raise RuntimeError(
-                    f"version-dir collision on {self.table_dir}: writing "
-                    f"batch {batch_id} would overwrite {label}, but "
-                    f"{reason} — a fresh checkpoint is reusing an "
-                    f"existing table's batch-id space. Point the new "
-                    f"stream at a new table dir, or compact() then "
-                    f"vacuum() first (re-roots every bucket under a "
-                    f"fresh label and retires the old records)"
-                )
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
             buckets[str(b)] = f"{label}/{_PB}={b}"

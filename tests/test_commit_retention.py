@@ -794,6 +794,15 @@ def test_overwrite_of_referenced_version_dir_raises(spark, tmp_path):
     t.merge_batch(_frame(spark, [(8, "e", 500, False)]), 5)
     assert {r["id"] for r in t.read().collect()} == set(range(9))
 
+    # the runbook in the error message must actually work: compact() then
+    # vacuum(keep=1) re-roots every bucket and retires the old records,
+    # after which the fresh stream's batch 1 merges cleanly
+    t.compact(target_partitions=2)
+    t.vacuum(keep=1)
+    fresh2 = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s2")
+    fresh2.merge_batch(_frame(spark, [(9, "z", 900, False)]), 1)
+    assert {r["id"] for r in fresh2.read().collect()} == set(range(10))
+
 
 def test_materialize_stream_id_canonical_and_rederived(spark, tmp_path):
     """r16 review: (a) the auto-derived replay identity strips trailing
@@ -839,3 +848,29 @@ def test_materialize_stream_id_canonical_and_rederived(spark, tmp_path):
     run_to_completion(q3, t2, timeout_sec=120)
     assert t2.stream_id == "mine"
     assert not getattr(t2, "_auto_stream_id", False)
+
+
+def test_stream_id_comparison_ignores_trailing_slash(spark, tmp_path):
+    """r16 review (second pass): records stamped by a release that
+    derived ids verbatim from a slash-spelled checkpoint must keep
+    comparing equal to the canonicalized form — a legitimate same-stream
+    replay after the upgrade must short-circuit, not wedge every restart
+    on a spurious 'batch-id collision'."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    old = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="ckpt:/c/x/"
+    )
+    old.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+
+    upgraded = ParquetUpsertTable(
+        spark, tdir, key="id", fs=fs, stream_id="ckpt:/c/x"
+    )
+    head = upgraded._head()
+    upgraded.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)  # replay
+    assert upgraded._head() == head  # no-op, no raise
+
+    # a genuinely different stream still raises
+    other = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="ckpt:/c/y")
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        other.merge_batch(_frame(spark, [(2, "b", 200, False)]), 1)
