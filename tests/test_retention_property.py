@@ -13,7 +13,12 @@ violation is catastrophic and silent:
    class);
 3. ``versions()`` equals the model's readable labels in commit order;
 4. a writer deriving from a head under a torn top is fenced (raises),
-   and committing works again after zombie recovery.
+   and committing works again after zombie recovery;
+5. (r16) the merge-path overwrite guard's decision — committed-by /
+   referenced-only / safe-orphan — matches the surviving log exactly in
+   every reachable state, so a batch-id reuse can never overwrite a dir
+   a retained record still pins, while dead writers' orphans stay
+   retryable.
 
 Commit manifests deliberately inherit buckets from the previous head so
 records cross-reference OLDER version dirs — the layout shape real
@@ -93,6 +98,33 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
             if model[s] is not None:
                 want.setdefault(model[s], None)
         assert t.versions() == list(want)
+        # r16: the overwrite-guard decision (merge_batch's three-case
+        # split) matches the survivors exactly in EVERY reachable log
+        # state: a label some surviving record commits reports its
+        # owner; a label only referenced by surviving bucket maps (its
+        # own record vacuumed) reports referenced-not-owned — the
+        # must-not-overwrite case; a label nothing references is a safe
+        # orphan on both axes
+        survivors = {
+            s: r
+            for s in t._commit_seqs()
+            if (r := t._record(s)) is not None
+        }
+        head_m = t._head()[1]
+        committed = {r["version"] for r in survivors.values()}
+        referenced = {
+            rel.split("/", 1)[0]
+            for r in survivors.values()
+            for rel in r["buckets"].values()
+        }
+        for lab in committed | referenced:
+            owner, ref = t._label_conflict(lab, head_m)
+            if lab in committed:
+                assert owner is not None and owner["version"] == lab
+            else:
+                assert owner is None and ref is not None
+        fresh_label = f"v{(max(model) if model else 0) + 1000:020d}"
+        assert t._label_conflict(fresh_label, head_m) == (None, None)
 
     for op in ops:
         if op[0] == "commit":
