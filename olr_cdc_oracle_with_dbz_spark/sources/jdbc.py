@@ -219,8 +219,15 @@ class JdbcIncrementalSource:
         the downstream idempotent MERGE absorbs any rows that DID land
         before the failure. Idempotent; a no-op when nothing is pending.
         """
+        # r16 ADVICE: release the cache DIRECTLY rather than routing
+        # through commit() — piggybacking worked only because the pending
+        # watermark was cleared first, and any future commit() side effect
+        # (unconditional state persistence, metrics) would silently turn
+        # rollback into a commit. The two methods stay independent.
         self._pending_wm = None
-        self.commit()  # nothing pending now: just releases the batch cache
+        if self._pending_batch is not None:
+            self._pending_batch.unpersist()
+            self._pending_batch = None
 
 
 def upsert_statement(

@@ -64,6 +64,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,6 +78,33 @@ from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
     unwrap,
 )
 from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+
+#: URI scheme detector (RFC 3986 shape) for checkpoint-path canonicalization
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _canon_ckpt_path(path: str) -> str:
+    """Canonical spelling of a checkpoint path for replay-identity use.
+
+    r16 ADVICE: deriving the identity from the VERBATIM string means a
+    restart that spells the same checkpoint differently (relative vs
+    absolute, doubled interior slashes) gets a different ``stream_id``
+    and permanently wedges on a spurious batch-id-collision raise — the
+    exact failure the trailing-slash strip was added to avoid, via a
+    different spelling. Scheme-less local paths canonicalize through
+    ``os.path.abspath`` (which also collapses ``//`` and ``.``); URI
+    paths (``hdfs://``, ``s3a://``, ``file:/``) keep their spelling
+    apart from trailing-separator stripping — a full normpath would
+    mangle the ``scheme://`` authority slashes, and distributed-store
+    URIs are already absolute by construction. A RELATIVE local path
+    resolves against the canonicalizer's cwd, so spell checkpoints
+    absolutely in anything restarted from a different directory.
+    """
+    p = path.rstrip("/")
+    if not _SCHEME_RE.match(p):
+        p = os.path.abspath(p)
+    return p
+
 
 _CURRENT = "_CURRENT"  # legacy (pre-r13) pointer file, read-only migration
 _COMMITS = "_commits"  # append-only commit log directory
@@ -108,6 +137,7 @@ class ParquetUpsertTable:
         retain_commits: int | None = None,
         vacuum_grace_sec: float | None = None,
         stream_id: str | None = None,
+        strict_identity: bool = False,
     ):
         """``extra_cols``: evolved image columns to carry through unwrap —
         the R10 auto.evolve path; rows from pre-evolution events surface
@@ -177,12 +207,23 @@ class ParquetUpsertTable:
         the handle has none. Same posture as Delta's ``txnAppId``
         idempotent-write key. None preserves the label-only check (and
         records with no stored id — pre-r16 tables — never raise).
+
+        ``strict_identity`` (r16 ADVICE): a None-id handle whose label
+        collision lands on a record that DOES carry a ``stream_id``
+        normally warns and keeps the legacy silent-replay no-op — the
+        record's presence proves the table opted into identity checking,
+        so an ad-hoc batch writer or pre-r16 caller reprocessing into a
+        protected table re-opens the silent-data-loss hole the feature
+        closes. ``strict_identity=True`` upgrades that warning to a
+        raise; it has no effect on handles that carry an id (those
+        already raise on cross-stream collisions).
         """
         self.spark = spark
         self.table_dir = table_dir
         self.key = key
         self.extra_cols = extra_cols
         self.stream_id = stream_id
+        self.strict_identity = strict_identity
         self.retain_commits = (
             self.DEFAULT_RETAIN_COMMITS if retain_commits is None else retain_commits
         )
@@ -834,18 +875,55 @@ class ParquetUpsertTable:
         return dropped
 
     @staticmethod
-    def _other_stream(mine: str | None, theirs: str | None) -> bool:
+    def _canon_id(sid: str) -> str:
+        """Canonical form of a replay identity for comparison. Auto-derived
+        ids (``ckpt:<path>``) canonicalize their path component with
+        :func:`_canon_ckpt_path` — records stamped by a release that
+        derived ids verbatim from a relative / slash-doubled checkpoint
+        spelling must keep comparing equal to the canonicalized form, or
+        every restart of that stream wedges on a spurious collision (r16
+        review #2, r16 ADVICE #2). Explicit caller ids (``query.id`` etc.)
+        are opaque: trailing-separator strip only."""
+        if sid.startswith("ckpt:"):
+            return "ckpt:" + _canon_ckpt_path(sid[len("ckpt:"):])
+        return sid.rstrip("/")
+
+    @classmethod
+    def _other_stream(cls, mine: str | None, theirs: str | None) -> bool:
         """True iff both replay identities are present and name DIFFERENT
-        streams. Compared with trailing separators stripped from BOTH
-        sides (r16 review #2): records stamped by a release that derived
-        ids verbatim from a slash-spelled checkpoint must keep comparing
-        equal to the canonicalized form, or every restart of that stream
-        wedges on a spurious collision."""
+        streams (canonicalized comparison — see :meth:`_canon_id`)."""
         return (
             mine is not None
             and theirs is not None
-            and mine.rstrip("/") != theirs.rstrip("/")
+            and cls._canon_id(mine) != cls._canon_id(theirs)
         )
+
+    def _unverifiable_replay(self, theirs: str | None, label: str) -> None:
+        """r16 ADVICE #3: a None-id handle whose label collision lands on
+        a record that DOES carry a ``stream_id``. The record's presence
+        proves the table opted into identity checking, so treating the
+        collision as a same-stream replay is an UNVERIFIED assumption —
+        an ad-hoc batch writer or pre-r16 caller reprocessing into a
+        protected table re-opens the silent-drop hole the identity check
+        closes. Warn by default (the legacy no-op stays available for
+        deliberate ad-hoc use); raise under ``strict_identity``. No-op
+        when the handle has an id (cross-stream already raises) or the
+        record predates identity stamping (nothing to verify against).
+        """
+        if self.stream_id is not None or theirs is None:
+            return
+        msg = (
+            f"unverifiable replay on {self.table_dir}: commit {label} "
+            f"carries stream identity {theirs!r} but this handle has "
+            f"none, so treating the colliding batch as a replay no-op "
+            f"cannot be verified. If this is the same stream, pass its "
+            f"stream_id (or drive it through materialize_stream); if it "
+            f"is a fresh reprocess, point it at a new table dir or "
+            f"compact() then vacuum(keep=1) first."
+        )
+        if self.strict_identity:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
     def _committed_by(self, label: str) -> dict | None:
         """The newest retained commit record whose version is ``label``,
@@ -930,7 +1008,11 @@ class ParquetUpsertTable:
         (r15 ADVICE), that consequence is ENFORCED rather than silent: a
         label collision from a different stream raises instead of
         no-op'ing the colliding batch away. Records or handles without an
-        id keep the label-only check (pre-r16 tables, ad-hoc batch use).
+        id keep the label-only check (pre-r16 tables, ad-hoc batch use) —
+        but a None-id HANDLE colliding against an id-STAMPED record warns
+        (raises under ``strict_identity``), since the record proves the
+        table opted into identity checking and the silent no-op would
+        re-open the hole for ad-hoc writers (r16 ADVICE #3).
         """
         label = f"v{batch_id:020d}"
         parent_seq, manifest = self._head()  # fence token for _commit
@@ -948,21 +1030,41 @@ class ParquetUpsertTable:
                     f"bucket under a fresh label and retires the old "
                     f"records)"
                 )
+            self._unverifiable_replay(manifest.get("stream_id"), label)
             return  # this batch's commit is already durable: replay no-op
         out = os.path.join(self.table_dir, label)
-        if self.fs.exists(out):
-            # existing below-head dir, checked BEFORE any Spark job runs
-            # over the batch (r16 review; only paid on the rare exists
-            # path). Three cases: (1) the label is COMMITTED by a
-            # retained record — same stream means a replay of a batch
+        head_label = manifest.get("version") if manifest is not None else None
+        if self.fs.exists(out) or (
+            head_label is not None and label <= head_label
+        ):
+            # collision scan, checked BEFORE any Spark job runs over the
+            # batch (r16 review; the healthy new-batch path — label above
+            # head, no dir — pays only the exists probe it always paid).
+            # Consulted when the version dir exists, OR (r16 ADVICE #1)
+            # when it is absent but the label sits at-or-below the head:
+            # a retained commit record can outlive its dir (an empty
+            # micro-batch's label dir is referenced by no bucket map, so
+            # vacuum removes the dir while the record survives) — gating
+            # purely on fs.exists would let a fresh checkpoint colliding
+            # on that batch id skip the owner scan and append a
+            # DUPLICATE-label record, making _manifest(label) resolution
+            # ambiguous. Fixed-width labels (v%020d, optional 'c'
+            # suffixes) compare numerically under string order, so
+            # label <= head_label is exactly "inside the committed
+            # batch-id space". Three cases: (1) the label is COMMITTED by
+            # a retained record — same stream means a replay of a batch
             # whose rows a later compact/merge already folded into the
             # head lineage (no-op, same posture as the head-label
             # short-circuit), a different stream means a fresh checkpoint
             # reusing the batch-id space (raise); (2) uncommitted but
             # some retained record's bucket map still references it —
-            # overwriting destroys committed rows (raise); (3) a true
-            # orphan from a writer that died before its commit landed —
-            # overwrite IS the idempotent retry.
+            # writing under that label corrupts committed reads whether
+            # or not the dir survives (raise); (3) a true orphan from a
+            # writer that died before its commit landed — overwrite IS
+            # the idempotent retry (and a vacuumed same-stream label
+            # with no surviving record or reference re-merges
+            # idempotently: stored rows keep their _scn, so replayed
+            # older events can never overwrite newer state).
             owner, ref = self._label_conflict(label, manifest)
             if owner is not None:
                 if self._other_stream(self.stream_id, owner.get("stream_id")):
@@ -977,6 +1079,7 @@ class ParquetUpsertTable:
                         f"every bucket under a fresh label and retires "
                         f"the old records)"
                     )
+                self._unverifiable_replay(owner.get("stream_id"), label)
                 return  # committed replay below head: rows already live
             if ref is not None:
                 raise RuntimeError(
@@ -1229,10 +1332,16 @@ def materialize_stream(
     checkpoint, distinct for a fresh checkpoint elsewhere — so a fresh
     stream reprocessing into an existing table dir raises on a batch-id
     label collision instead of silently dropping the batch. The path is
-    canonicalized only by stripping trailing separators (r16 review: a
-    resume spelled ``/ckpt/x/`` must not read as a different stream
-    than ``/ckpt/x`` and wedge every restart; full normpath would
-    mangle ``hdfs://`` URIs). Limits, same as Delta's ``txnAppId``: a
+    canonicalized by :func:`_canon_ckpt_path` (r16 ADVICE: scheme-less
+    paths through ``os.path.abspath`` so ``ckpt/x``, ``./ckpt//x`` and
+    ``/cwd/ckpt/x`` all read as ONE stream; URI paths keep their
+    spelling apart from trailing-separator stripping, since normpath
+    would mangle ``hdfs://`` authorities), and the collision comparison
+    re-canonicalizes BOTH sides so records stamped verbatim by older
+    releases stay equal to the canonical form. A relative checkpoint
+    path resolves against the driver's cwd — spell it absolutely in
+    anything restarted from a different directory. Limits, same as
+    Delta's ``txnAppId``: a
     checkpoint WIPED and recreated at the same path carries the same
     identity, so its batch-0 collision still reads as a replay — the
     version-dir guard in :meth:`ParquetUpsertTable.merge_batch` catches
@@ -1243,7 +1352,7 @@ def materialize_stream(
     handle driven through two checkpoints never stamps the first
     stream's identity on the second.
     """
-    auto_id = f"ckpt:{checkpoint_dir.rstrip('/')}"
+    auto_id = f"ckpt:{_canon_ckpt_path(checkpoint_dir)}"
     if table.stream_id is None or getattr(table, "_auto_stream_id", False):
         table.stream_id = auto_id
         table._auto_stream_id = True

@@ -731,9 +731,13 @@ def test_replay_cross_stream_label_collision_raises(spark, tmp_path):
     with pytest.raises(RuntimeError, match="batch-id collision"):
         fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
 
-    # id-less handle against an id-stamped record: documented legacy no-op
+    # id-less handle against an id-stamped record: documented legacy
+    # no-op, but no longer SILENT (r16 ADVICE #3) — the record's id
+    # proves the table opted into identity checking, so the unverified
+    # replay assumption is surfaced as a warning
     legacy = ParquetUpsertTable(spark, tdir, key="id", fs=fs)
-    legacy.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
+    with pytest.warns(RuntimeWarning, match="unverifiable replay"):
+        legacy.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
     assert 9 not in {r["id"] for r in legacy.read().collect()}
 
     # non-colliding batch ids from the new stream commit normally
@@ -874,3 +878,253 @@ def test_stream_id_comparison_ignores_trailing_slash(spark, tmp_path):
     other = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="ckpt:/c/y")
     with pytest.raises(RuntimeError, match="batch-id collision"):
         other.merge_batch(_frame(spark, [(2, "b", 200, False)]), 1)
+
+
+def test_none_id_collision_strict_flag_and_no_id_records(spark, tmp_path):
+    """r16 ADVICE #3, both sides of the default: ``strict_identity=True``
+    upgrades the None-id-handle-vs-id-stamped-record warning to a raise
+    (nothing written either way), while a table whose records carry NO id
+    keeps the fully-silent legacy no-op — there is nothing to verify
+    against, and a pre-r16 table must not start warning spuriously."""
+    import warnings as _w
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="s1")
+    t.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+
+    # strict None-id handle: the unverifiable replay RAISES, no write
+    strict = ParquetUpsertTable(
+        spark, tdir, key="id", fs=fs, strict_identity=True
+    )
+    head = t._head()
+    with pytest.raises(RuntimeError, match="unverifiable replay"):
+        strict.merge_batch(_frame(spark, [(9, "z", 900, False)]), 1)
+    assert t._head() == head
+    assert 9 not in {r["id"] for r in t.read().collect()}
+
+    # strict_identity has NO effect on a handle that carries an id: the
+    # same stream's replay stays a silent no-op
+    strict_same = ParquetUpsertTable(
+        spark, tdir, key="id", fs=fs, stream_id="s1", strict_identity=True
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        strict_same.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+    assert t._head() == head
+
+    # records with NO stored id (pre-r16 table): None-id replay stays
+    # silent — no warning, no raise
+    tdir2 = str(tmp_path / "tbl2")
+    old = ParquetUpsertTable(spark, tdir2, key="id", n_buckets=4, fs=fs)
+    old.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        old.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+
+
+def test_record_outliving_dir_still_guards_collision(spark, tmp_path):
+    """r16 ADVICE #1: a retained commit record can outlive its version
+    dir — an EMPTY micro-batch touches no buckets, so its label dir is
+    referenced by no bucket map and the age-based orphan sweep reclaims
+    the dir while the record survives. The collision guard used to be
+    gated purely on ``fs.exists(version dir)``, so a fresh checkpoint
+    colliding on that batch id skipped the owner scan and appended a
+    DUPLICATE-label commit record (ambiguous ``_manifest(label)``
+    resolution). The scan must also run when the dir is absent but the
+    label sits at-or-below the head."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="s1",
+        vacuum_grace_sec=0.0,
+    )
+    t.merge_batch(_frame(spark, [(i, f"n{i}", 100 + i, False) for i in range(8)]), 1)
+    t.merge_batch(_frame(spark, []), 2)  # empty micro-batch: record, no refs
+    t.merge_batch(_frame(spark, [(0, "upd", 200, False)]), 3)
+
+    v2 = f"v{2:020d}"
+    assert t._committed_by(v2) is not None
+    # the reachable real-world path: the sweep reclaims the unreferenced
+    # empty-batch dir while its commit record survives retention
+    swept = t.vacuum_orphans(older_than_sec=-1.0)
+    assert v2 in swept
+    assert not fs.exists(os.path.join(tdir, v2))
+    assert t._committed_by(v2) is not None  # record outlives its dir
+
+    # fresh stream colliding on the dir-less batch id: MUST raise (was:
+    # silent duplicate-label commit record)
+    fresh = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s2")
+    n_records = len(t._commit_seqs())
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
+    assert len(t._commit_seqs()) == n_records  # no duplicate-label append
+
+    # same stream replaying the dir-less committed batch: no-op, and no
+    # duplicate record either (pre-fix it re-wrote the dir and appended)
+    head = t._head()
+    t.merge_batch(_frame(spark, []), 2)
+    assert t._head() == head
+    assert len(t._commit_seqs()) == n_records
+
+    # once retention drops the record too, the label leaves the committed
+    # batch-id space entirely (no record, no reference, no dir): the scan
+    # finds nothing and the merge proceeds — the guard is exactly as
+    # durable as the log, by design
+    t.vacuum(keep=1)
+    assert t._committed_by(v2) is None
+    fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 2)
+    assert 9 in {r["id"] for r in fresh.read().collect()}
+
+
+def test_ckpt_id_canonicalization_spellings(spark, tmp_path):
+    """r16 ADVICE #2: the auto-derived replay identity must canonicalize
+    the checkpoint PATH, not compare verbatim spellings — a restart that
+    spells the same checkpoint with doubled slashes, ``.`` segments, or
+    relatively would otherwise derive a different stream_id and wedge
+    every restart on a spurious batch-id collision. URI spellings keep
+    their authority slashes (normpath would mangle ``hdfs://``)."""
+    import os as _os
+
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        _canon_ckpt_path,
+    )
+
+    # path canonicalization: doubled slashes, dot segments, trailing
+    # separators, and relative spellings all converge
+    base = str(tmp_path / "ckpt")
+    assert _canon_ckpt_path(base + "/") == base
+    assert _canon_ckpt_path(str(tmp_path) + "//ckpt") == base
+    assert _canon_ckpt_path(str(tmp_path) + "/./ckpt/") == base
+    rel = _os.path.relpath(base)
+    assert _canon_ckpt_path(rel) == base  # cwd-resolved
+    # URIs: trailing strip only, authority slashes untouched
+    assert _canon_ckpt_path("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
+    assert _canon_ckpt_path("s3a://bkt/ck/") == "s3a://bkt/ck"
+    assert _canon_ckpt_path("file:/x/y/") == "file:/x/y"
+
+    # comparison canonicalizes BOTH sides, so records stamped verbatim by
+    # a pre-r17 release under a doubled-slash spelling keep comparing
+    # equal to the canonical form — replay no-ops instead of wedging
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    legacy_spelling = f"ckpt:{tmp_path}//ckpt"
+    old = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, stream_id=legacy_spelling
+    )
+    old.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)
+
+    upgraded = ParquetUpsertTable(
+        spark, tdir, key="id", fs=fs, stream_id=f"ckpt:{base}"
+    )
+    head = upgraded._head()
+    upgraded.merge_batch(_frame(spark, [(1, "a", 100, False)]), 1)  # replay
+    assert upgraded._head() == head  # no-op, no spurious wedge
+
+    # a genuinely different checkpoint still raises
+    other = ParquetUpsertTable(
+        spark, tdir, key="id", fs=fs, stream_id=f"ckpt:{tmp_path}/ckpt2"
+    )
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        other.merge_batch(_frame(spark, [(2, "b", 200, False)]), 1)
+
+    # explicit (non-ckpt:) ids stay opaque — trailing strip only, no
+    # path canonicalization (a query.id is not a path)
+    assert not ParquetUpsertTable._other_stream("run-a", "run-a/")
+    assert ParquetUpsertTable._other_stream("run-a", "run-b")
+    assert ParquetUpsertTable._other_stream("run-a", "run-a//x")
+
+
+def test_wiped_checkpoint_same_path_end_to_end(spark, tmp_path):
+    """VERDICT r16 #6: drive the wiped-checkpoint-same-path scenario
+    through :func:`materialize_stream` itself (not merge_batch directly)
+    and assert the guard stack governs every interleaving:
+
+    (a) wipe + same data — the documented txnAppId-shaped identity limit:
+        every replayed batch no-ops against its retained record; content
+        unchanged, stream completes;
+    (b) wipe after retention dropped below-head records whose dirs the
+        head still references — the version-dir guard RAISES through the
+        stream instead of overwriting live data;
+    (c) the error message's runbook (compact + vacuum(keep=1)) actually
+        unblocks: the re-run merges cleanly and converges to the same
+        content (idempotent latest-SCN-wins re-merge).
+    """
+    import shutil
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import parse_envelope
+    from olr_cdc_oracle_with_dbz_spark.cdc.fixtures import json_lines
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        materialize_stream,
+        run_to_completion,
+    )
+
+    import time as _time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = json_lines()
+    half = max(1, (len(lines) - 1) // 2)
+    # the LAST file holds a single event (one key -> one bucket), so the
+    # final head's bucket map still references the PREVIOUS batch's dirs
+    # — the carried-forward-label state the guard exists to protect
+    now = _time.time()
+    for i, chunk in enumerate(
+        (lines[:half], lines[half:-1], lines[-1:])
+    ):
+        p = src / f"f{i}.json"
+        p.write_text("\n".join(chunk) + "\n")
+        os.utime(p, (now + 10 * i, now + 10 * i))  # deterministic order
+
+    def _run(table):
+        env = parse_envelope(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .load(str(src)),
+            "value",
+        )
+        q = materialize_stream(env, table, str(tmp_path / "ckpt"))
+        run_to_completion(q, table, timeout_sec=180)
+
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, vacuum_grace_sec=0.0
+    )
+    _run(t)
+    want = sorted(
+        (r["id"], r["name"]) for r in t.read().collect()
+    )
+    head_before = t._head()
+    assert len(t._commit_seqs()) == 3  # three micro-batches committed
+
+    # (a) wiped checkpoint, same source, same path: same auto identity,
+    # every batch 0..2 collides with its own retained record -> replay
+    # no-ops all the way through; content and head unchanged
+    shutil.rmtree(tmp_path / "ckpt")
+    t2 = ParquetUpsertTable(spark, tdir, key="id", fs=fs, vacuum_grace_sec=0.0)
+    _run(t2)
+    assert t2._head() == head_before
+    assert sorted((r["id"], r["name"]) for r in t2.read().collect()) == want
+
+    # (b) retention drops the below-head records (their dirs stay pinned
+    # by the head's bucket map); a wiped-checkpoint re-run's batch 0 now
+    # finds no owning record but a live reference -> the guard raises
+    # THROUGH the stream before anything is overwritten
+    t2.vacuum(keep=1)
+    assert t2._committed_by(f"v{0:020d}") is None
+    shutil.rmtree(tmp_path / "ckpt")
+    t3 = ParquetUpsertTable(spark, tdir, key="id", fs=fs, vacuum_grace_sec=0.0)
+    with pytest.raises(Exception, match="collision"):
+        _run(t3)
+    assert sorted((r["id"], r["name"]) for r in t3.read().collect()) == want
+
+    # (c) the runbook unblocks: compact re-roots every bucket under a
+    # fresh label, vacuum(keep=1) retires the old records, and the
+    # wiped-checkpoint re-run merges cleanly to identical content
+    t3.compact(target_partitions=2)
+    t3.vacuum(keep=1)
+    shutil.rmtree(tmp_path / "ckpt")
+    t4 = ParquetUpsertTable(spark, tdir, key="id", fs=fs, vacuum_grace_sec=0.0)
+    _run(t4)
+    assert sorted((r["id"], r["name"]) for r in t4.read().collect()) == want

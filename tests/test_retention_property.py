@@ -18,7 +18,14 @@ violation is catastrophic and silent:
    referenced-only / safe-orphan — matches the surviving log exactly in
    every reachable state, so a batch-id reuse can never overwrite a dir
    a retained record still pins, while dead writers' orphans stay
-   retryable.
+   retryable;
+6. (r17, ADVICE r16 #1) a DIFFERENT stream's merge_batch raises on EVERY
+   label any surviving record commits or references — including labels
+   whose version dir no longer exists (an empty micro-batch's record
+   outliving its swept dir), the state the old fs.exists-only gate let
+   slip through as a silent duplicate-label commit. Equivalently: every
+   in-use label compares <= the head label, so the at-or-below-head scan
+   gate covers the whole committed batch-id space.
 
 Commit manifests deliberately inherit buckets from the previous head so
 records cross-reference OLDER version dirs — the layout shape real
@@ -40,6 +47,7 @@ from olr_cdc_oracle_with_dbz_spark.streaming.materialize import ParquetUpsertTab
 _OPS = st.lists(
     st.one_of(
         st.just(("commit",)),
+        st.just(("commit_empty",)),  # r17: record with NO dir of its own
         st.just(("torn",)),
         st.just(("recover",)),
         st.tuples(st.just("vacuum"), st.integers(min_value=0, max_value=5)),
@@ -51,10 +59,16 @@ _OPS = st.lists(
 )
 
 
-def _new_table(root: str) -> ParquetUpsertTable:
+def _new_table(root: str, stream_id: str = "prop-stream") -> ParquetUpsertTable:
     # spark is only stored by the constructor; every op here is metadata
     return ParquetUpsertTable(
-        None, root, key="id", n_buckets=4, fs=LocalFS(), retain_commits=0
+        None,
+        root,
+        key="id",
+        n_buckets=4,
+        fs=LocalFS(),
+        retain_commits=0,
+        stream_id=stream_id,
     )
 
 
@@ -125,6 +139,22 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
                 assert owner is None and ref is not None
         fresh_label = f"v{(max(model) if model else 0) + 1000:020d}"
         assert t._label_conflict(fresh_label, head_m) == (None, None)
+        # r17 (ADVICE r16 #1): the merge gate must consult the scan for
+        # every in-use label, INCLUDING labels whose version dir is gone
+        # (commit_empty records never had one). Fixed-width labels order
+        # numerically under string comparison, so lab <= head label is
+        # the gate condition — assert it covers the whole in-use space,
+        # then assert the end-to-end consequence: an INTRUDING stream's
+        # merge_batch raises for every such label in every reachable
+        # state (the guard path runs entirely before any Spark work, so
+        # a raise never touches the None batch frame — and a failure to
+        # raise crashes on it, failing the test)
+        if head_m is not None:
+            intruder = _new_table(root, stream_id="intruder")
+            for lab in committed | referenced:
+                assert lab <= head_m["version"]
+                with pytest.raises(RuntimeError, match="collision"):
+                    intruder.merge_batch(None, int(lab[1:]))
 
     for op in ops:
         if op[0] == "commit":
@@ -135,6 +165,22 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
             buckets[str(seq % 4)] = f"{label}/pb={seq % 4}"
             fs.mkdirs(os.path.join(root, label, f"pb={seq % 4}"))
             if seq in model:  # torn record occupies the fence slot
+                with pytest.raises(RuntimeError, match="concurrent writer"):
+                    t._commit(label, buckets, expect_parent=parent)
+            else:
+                assert t._commit(label, buckets, expect_parent=parent) == seq
+                model[seq] = label
+        elif op[0] == "commit_empty":
+            # an EMPTY micro-batch's commit: the record lands with the
+            # bucket map inherited UNCHANGED and no version dir is ever
+            # created (equivalently: created then reclaimed by the orphan
+            # sweep, since nothing references it) — the record-outlives-
+            # dir state of ADVICE r16 #1
+            parent, m = t._head()
+            seq = parent + 1
+            label = f"v{seq:020d}"
+            buckets = dict(m["buckets"]) if m else {}
+            if seq in model:
                 with pytest.raises(RuntimeError, match="concurrent writer"):
                     t._commit(label, buckets, expect_parent=parent)
             else:

@@ -733,11 +733,18 @@ def test_spool_flush_replay_after_crash_is_idempotent(spark, tmp_path):
     state_after_flush = _final_ids(table)
     assert state_after_flush == _GOLDEN
 
-    # simulate the crash: rows published, but the spool clear never ran
+    # simulate the crash: rows published, but the spool clear never ran.
+    # The restarted handle carries no stream_id while the table's records
+    # do (stamped by materialize_stream above), so the replayed flush's
+    # label collision is an UNVERIFIABLE replay: it must still no-op
+    # (legacy contract) but now announces itself (r16 ADVICE #3) — the
+    # recovery runbook is to reopen via materialize_stream or pass the
+    # checkpoint-derived stream_id explicitly.
     shutil.copytree(saved, spool)
     restarted = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
     assert restarted.spool_events() == 12  # counter re-derived from footers
-    assert restarted.flush_spool() is True  # replayed merge
+    with pytest.warns(RuntimeWarning, match="unverifiable replay"):
+        assert restarted.flush_spool() is True  # replayed merge
     assert _final_ids(restarted) == state_after_flush  # idempotent
     assert restarted.spool_events() == 0
 
