@@ -79,10 +79,21 @@ def effective_cpus() -> int:
 
 
 def apply_calibration() -> int:
-    """Set SPARK_GRAFT_CPUS from measurement unless explicitly pinned."""
+    """Set SPARK_GRAFT_CPUS from measurement unless explicitly pinned.
+
+    When pinned, the measurement still RUNS (one ~second CPU probe) so
+    the committed bench record carries ``delivered_equiv`` alongside the
+    pin (VERDICT r16 #7): the headline BENCH_r{N}.json line is what
+    cross-round comparisons read first, and an absolute-seconds move is
+    uninterpretable without the delivered-pool figure that explains it —
+    r16's +15% "regression" was a 32-advertised/14.5-delivered window,
+    visible only in the details file. The pin keeps governing local[N].
+    """
     global LAST
     if "SPARK_GRAFT_CPUS" in os.environ:
-        LAST = {"pinned": int(os.environ["SPARK_GRAFT_CPUS"])}
+        pinned = int(os.environ["SPARK_GRAFT_CPUS"])
+        effective_cpus()  # measure for the record; never changes the pin
+        LAST = {**LAST, "pinned": pinned}
         return 0
     n = effective_cpus()
     if n:

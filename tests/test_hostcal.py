@@ -27,10 +27,24 @@ def test_effective_cpus_bounds(monkeypatch):
 
 
 def test_apply_calibration_respects_explicit_pin(monkeypatch):
+    """The pin always governs local[N]; the probe still runs so the
+    committed bench record carries delivered_equiv next to the pin
+    (VERDICT r16 #7 — the headline line must explain its own weather)."""
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
+
+    def fake_measure():
+        hostcal.LAST = {"advertised": 32, "delivered_equiv": 18.8, "local_n": 24}
+        return 24
+
+    monkeypatch.setattr(hostcal, "effective_cpus", fake_measure)
     assert hostcal.apply_calibration() == 0
-    assert os.environ["SPARK_GRAFT_CPUS"] == "7"
-    assert hostcal.LAST == {"pinned": 7}
+    assert os.environ["SPARK_GRAFT_CPUS"] == "7"  # pin untouched
+    assert hostcal.LAST == {
+        "advertised": 32,
+        "delivered_equiv": 18.8,
+        "local_n": 24,
+        "pinned": 7,
+    }
 
 
 def test_apply_calibration_sets_env(monkeypatch):
