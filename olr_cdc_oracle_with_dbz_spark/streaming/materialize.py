@@ -412,6 +412,7 @@ class ParquetUpsertTable:
         buckets: dict[str, str],
         expect_parent: int,
         n_buckets: int | None = None,
+        parent_manifest: dict | None = None,
     ) -> int:
         """Append one immutable commit record at sequence ``expect_parent
         + 1`` via put-if-absent; returns the committed sequence.
@@ -445,8 +446,42 @@ class ParquetUpsertTable:
         commit succeeds, on the committer's own sequence cadence, so
         concurrent handles don't double-vacuum in lockstep and a fence
         failure never triggers retention.
+
+        Label-space high-water mark (r17 review pass): each record also
+        stamps ``max_label`` = max(this version, parent's max_label) —
+        monotone over the whole lineage even when a sanctioned reuse
+        (the post-runbook wiped-checkpoint path) commits a BACKWARDS
+        version label. The merge-path collision gate keys on it, because
+        after such a reuse the head's own version no longer bounds the
+        retained label space (a dir-less committed label ABOVE the new
+        head would otherwise slip the at-or-below-head gate — the
+        second-order form of ADVICE r16 #1). ``parent_manifest`` lets
+        the caller hand over the head record it already read; when
+        omitted on a non-root commit, the parent record is read
+        best-effort (one extra metadata read, direct-caller/test path
+        only). A backwards commit (version at-or-below the parent's
+        space) additionally refuses to DUPLICATE a label some retained
+        record still commits — the ambiguity the merge gate prevents,
+        enforced at the root for non-merge callers too.
         """
         seq = expect_parent + 1
+        if parent_manifest is None and expect_parent > 0:
+            parent_manifest = self._record(expect_parent)  # best-effort
+        parent_space = None
+        if parent_manifest is not None:
+            parent_space = parent_manifest.get(
+                "max_label"
+            ) or parent_manifest.get("version")
+        if parent_space is not None and version <= parent_space:
+            dup = self._committed_by(version)
+            if dup is not None:
+                raise RuntimeError(
+                    f"duplicate-label commit refused on {self.table_dir}: "
+                    f"a retained record already commits {version} — "
+                    f"appending another would make manifest/time-travel "
+                    f"resolution ambiguous. Point the writer at a new "
+                    f"table dir, or compact() then vacuum(keep=1) first"
+                )
         # Vacated-slot fence (ADVICE r14): retention vacates old sequence
         # slots, so create_exclusive alone no longer proves this writer is
         # the head's successor — a slot can be winnable because a vacuum
@@ -477,6 +512,11 @@ class ParquetUpsertTable:
             )
         rec = {
             "version": version,
+            "max_label": (
+                version
+                if parent_space is None
+                else max(version, parent_space)
+            ),
             "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
             "buckets": buckets,
         }
@@ -1033,9 +1073,15 @@ class ParquetUpsertTable:
             self._unverifiable_replay(manifest.get("stream_id"), label)
             return  # this batch's commit is already durable: replay no-op
         out = os.path.join(self.table_dir, label)
-        head_label = manifest.get("version") if manifest is not None else None
+        # label-space high-water mark, NOT the head's own version: after a
+        # sanctioned backwards reuse (the post-runbook wiped-checkpoint
+        # path) the head label drops below retained labels, and gating on
+        # it alone would re-open the dir-less-collision hole one level up
+        head_space = None
+        if manifest is not None:
+            head_space = manifest.get("max_label") or manifest.get("version")
         if self.fs.exists(out) or (
-            head_label is not None and label <= head_label
+            head_space is not None and label <= head_space
         ):
             # collision scan, checked BEFORE any Spark job runs over the
             # batch (r16 review; the healthy new-batch path — label above
@@ -1050,7 +1096,7 @@ class ParquetUpsertTable:
             # DUPLICATE-label record, making _manifest(label) resolution
             # ambiguous. Fixed-width labels (v%020d, optional 'c'
             # suffixes) compare numerically under string order, so
-            # label <= head_label is exactly "inside the committed
+            # label <= head max_label is exactly "inside the committed
             # batch-id space". Three cases: (1) the label is COMMITTED by
             # a retained record — same stream means a replay of a batch
             # whose rows a later compact/merge already folded into the
@@ -1149,7 +1195,9 @@ class ParquetUpsertTable:
         new_state.write.partitionBy(_PB).mode("overwrite").parquet(out)
         for b in touched:
             buckets[str(b)] = f"{label}/{_PB}={b}"
-        self._commit(label, buckets, expect_parent=parent_seq)
+        self._commit(
+            label, buckets, expect_parent=parent_seq, parent_manifest=manifest
+        )
 
     def compact(
         self, target_partitions: int = 8, n_buckets: int | None = None
@@ -1201,7 +1249,13 @@ class ParquetUpsertTable:
             for d in self.fs.list_names(out)
             if d.startswith(f"{_PB}=")
         }
-        self._commit(label, buckets, expect_parent=parent_seq, n_buckets=n)
+        self._commit(
+            label,
+            buckets,
+            expect_parent=parent_seq,
+            n_buckets=n,
+            parent_manifest=manifest,
+        )
         self.n_buckets = n  # only after a successful commit
 
     # -- micro-batch coalescing (spool) -------------------------------------

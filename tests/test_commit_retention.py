@@ -1128,3 +1128,76 @@ def test_wiped_checkpoint_same_path_end_to_end(spark, tmp_path):
     t4 = ParquetUpsertTable(spark, tdir, key="id", fs=fs, vacuum_grace_sec=0.0)
     _run(t4)
     assert sorted((r["id"], r["name"]) for r in t4.read().collect()) == want
+
+
+def test_label_space_high_water_survives_backwards_reuse(spark, tmp_path):
+    """r17 review pass (second-order ADVICE r16 #1): after a sanctioned
+    backwards label reuse (the post-runbook wiped-checkpoint path), the
+    head's own version drops below retained labels, so gating the
+    collision scan on it alone re-opens the dir-less duplicate-label
+    hole one level up — a dir-less COMMITTED label now sits ABOVE the
+    head label. Each commit therefore stamps a monotone ``max_label``
+    high-water mark and the gate keys on that; _commit additionally
+    refuses to append a duplicate of a label a retained record still
+    commits."""
+    tdir = str(tmp_path / "tbl")
+    fs = LocalFS()
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=fs, stream_id="s1",
+        vacuum_grace_sec=0.0,
+    )
+    t.merge_batch(_frame(spark, [(i, f"a{i}", 100 + i, False) for i in range(8)]), 0)
+    t.merge_batch(_frame(spark, [(i, f"b{i}", 200 + i, False) for i in range(8)]), 1)
+    t.merge_batch(_frame(spark, []), 2)  # empty: record v2, no refs, own dir only
+    t.merge_batch(_frame(spark, [(i, f"d{i}", 400 + i, False) for i in range(8)]), 3)
+
+    v0, v2, v3 = (f"v{i:020d}" for i in (0, 2, 3))
+    # sweep unreferenced dirs (v2's own, and v0's now-superseded ones),
+    # then retention drops the v0/v1 records: label v0 is traceless,
+    # label v2 is committed-but-dir-less, head is v3
+    t.vacuum_orphans(older_than_sec=-1.0)
+    t.vacuum(keep=2)
+    assert t._committed_by(v0) is None
+    assert t._committed_by(v2) is not None
+    assert not fs.exists(os.path.join(tdir, v2))
+
+    # sanctioned reuse: a fresh stream's batch 0 finds label v0 traceless
+    # and proceeds — committing a BACKWARDS head label (v0 below v2/v3)
+    fresh = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s2")
+    fresh.merge_batch(_frame(spark, [(9, "z", 900, False)]), 0)
+    head = fresh._head()[1]
+    assert head["version"] == v0
+    assert head["max_label"] == v3  # the high-water mark survived the reuse
+
+    # the second-order hole: batch 2 collides with the dir-less committed
+    # v2 record sitting ABOVE the new head label. A version-gated scan
+    # would skip it and append a duplicate v2 record; the space-gated
+    # scan finds the owner and raises cross-stream
+    n_records = len(fresh._commit_seqs())
+    with pytest.raises(RuntimeError, match="batch-id collision"):
+        fresh.merge_batch(_frame(spark, [(10, "y", 901, False)]), 2)
+    assert len(fresh._commit_seqs()) == n_records
+
+    # same stream as the v2 record: verified replay, no-op, no duplicate
+    same = ParquetUpsertTable(spark, tdir, key="id", fs=fs, stream_id="s1")
+    same.merge_batch(_frame(spark, []), 2)
+    assert len(fresh._commit_seqs()) == n_records
+
+    # root enforcement: even a direct _commit of a retained label is
+    # refused when the version sits inside the parent's label space
+    parent_seq, head_m = fresh._head()
+    with pytest.raises(RuntimeError, match="duplicate-label"):
+        fresh._commit(
+            v2, dict(head_m["buckets"]), expect_parent=parent_seq,
+            parent_manifest=head_m,
+        )
+    # ...including via the best-effort parent read when the caller does
+    # not hand the manifest over
+    with pytest.raises(RuntimeError, match="duplicate-label"):
+        fresh._commit(v2, dict(head_m["buckets"]), expect_parent=parent_seq)
+
+    # forward commits stay free of the scan and the stamp stays monotone
+    fresh.merge_batch(_frame(spark, [(11, "w", 902, False)]), 7)
+    head2 = fresh._head()[1]
+    assert head2["version"] == f"v{7:020d}"
+    assert head2["max_label"] == f"v{7:020d}"  # v7 > v3: mark advanced

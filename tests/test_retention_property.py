@@ -150,9 +150,10 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
         # a raise never touches the None batch frame — and a failure to
         # raise crashes on it, failing the test)
         if head_m is not None:
+            head_space = head_m.get("max_label") or head_m["version"]
             intruder = _new_table(root, stream_id="intruder")
             for lab in committed | referenced:
-                assert lab <= head_m["version"]
+                assert lab <= head_space
                 with pytest.raises(RuntimeError, match="collision"):
                     intruder.merge_batch(None, int(lab[1:]))
 
