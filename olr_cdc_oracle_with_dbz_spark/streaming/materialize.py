@@ -103,6 +103,15 @@ def _canon_ckpt_path(path: str) -> str:
     p = path.rstrip("/")
     if not _SCHEME_RE.match(p):
         p = os.path.abspath(p)
+        # POSIX abspath/normpath PRESERVE a leading double slash
+        # (implementation-defined per POSIX; Python keeps it), but on the
+        # platforms Spark checkpoints land on it names the same file as a
+        # single slash — found by the r17 hypothesis grind: a restart
+        # spelled //ckpt/x must not read as a different stream than
+        # /ckpt/x. abspath never emits 3+ leading slashes, so one strip
+        # suffices.
+        if p.startswith("//"):
+            p = p[1:]
     return p
 
 

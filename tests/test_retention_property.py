@@ -241,3 +241,61 @@ def test_log_invariants_under_random_ops(tmp_path_factory, ops):
                 floor = max(floor, max(dropped))
             assert model_head() == head_before  # the head never moves
         check_invariants()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    doubles=st.lists(st.booleans(), min_size=5, max_size=5),
+    dots=st.lists(st.booleans(), min_size=5, max_size=5),
+    trail=st.integers(min_value=0, max_value=3),
+)
+def test_ckpt_canonicalization_spelling_invariance(segs, doubles, dots, trail):
+    """r16 ADVICE #2, ground with hypothesis: EVERY spelling of the same
+    local checkpoint path — doubled separators, interleaved ``.``
+    segments, trailing separators, relative vs absolute — canonicalizes
+    to one stream identity, and a URI spelling is never path-mangled
+    (authority slashes survive; only trailing separators strip)."""
+    import os as _os
+
+    from olr_cdc_oracle_with_dbz_spark.streaming.materialize import (
+        _canon_ckpt_path,
+    )
+
+    base = "/" + "/".join(segs)
+    canon = _canon_ckpt_path(base)
+
+    # perturbed spelling: double some separators, inject ./ segments,
+    # append trailing separators
+    out = []
+    for i, seg in enumerate(segs):
+        out.append("/" + ("/" if doubles[i % 5] else ""))
+        if dots[i % 5]:
+            out.append("./")
+        out.append(seg)
+    spelled = "".join(out) + "/" * trail
+    assert _canon_ckpt_path(spelled) == canon
+
+    # relative spelling resolves to the same absolute identity
+    rel = _os.path.relpath(base)
+    assert _canon_ckpt_path(rel) == canon
+
+    # identity comparison is spelling-blind on both sides
+    a = "ckpt:" + spelled
+    b = "ckpt:" + base
+    assert not ParquetUpsertTable._other_stream(a, b)
+
+    # URI spellings: internal structure untouched, trailing strip only
+    uri = "hdfs://nn:8020" + base
+    assert _canon_ckpt_path(uri + "///") == uri
+    assert _canon_ckpt_path(uri) == uri
