@@ -1285,9 +1285,60 @@ class ParquetUpsertTable:
     # 100 TB deployment shape. The merge-cost shape is unchanged either
     # way: O(staged batch + touched buckets).
     _SPOOL = "_spool"
+    _SPOOL_ID = "_stream_id"  # identity marker file inside the spool dir
 
     def _spool_dir(self) -> str:
         return os.path.join(self.table_dir, self._SPOOL)
+
+    def _check_spool_identity(self, claim: bool) -> None:
+        """The spool-layer twin of the commit-record replay identity (r17
+        review pass): staged batches OUTLIVE a wiped checkpoint, so a
+        fresh incarnation's threshold flush would otherwise merge a
+        previous incarnation's staged rows into its own batch — the same
+        cross-stream blend the commit guard closes, one layer down (the
+        commit guard can't see it: rows from both incarnations arrive in
+        ONE merge under the new stream's batch id). The first id-carrying
+        staging writes a ``_stream_id`` marker beside the staged dirs
+        (``claim=True``); every later staging or flush compares it with
+        :meth:`_canon_id` semantics and raises on a different stream —
+        clear the stale spool (``fs.delete(<table>/_spool)``) or point
+        the new stream at a new table dir. Marker-less spools with
+        existing staged dirs (pre-r17 staging) are adopted by the first
+        id-carrying toucher, preserving legacy behavior; a None-id handle
+        over an id-marked spool warns, or raises under
+        ``strict_identity`` — same posture as the commit side. The
+        marker is deleted with the spool dir on every flush, so each
+        coalescing window re-claims it.
+        """
+        marker = os.path.join(self._spool_dir(), self._SPOOL_ID)
+        theirs = None
+        if self.fs.exists(marker):
+            theirs = self.fs.read_text(marker).strip() or None
+        if self._other_stream(self.stream_id, theirs):
+            raise RuntimeError(
+                f"spool identity collision on {self.table_dir}: staged "
+                f"micro-batches were written by stream {theirs!r} but "
+                f"this handle is stream {self.stream_id!r} — flushing "
+                f"would merge another incarnation's staged rows into "
+                f"this stream's batch. Clear the stale spool "
+                f"({self._spool_dir()}) if those rows are superseded, or "
+                f"point this stream at a new table dir"
+            )
+        if theirs is not None and self.stream_id is None:
+            msg = (
+                f"unverifiable spool on {self.table_dir}: staged "
+                f"micro-batches carry stream identity {theirs!r} but "
+                f"this handle has none, so merging them cannot be "
+                f"verified as same-stream. Pass that stream_id (or drive "
+                f"the flush through materialize_stream), or clear "
+                f"{self._spool_dir()} if the rows are superseded."
+            )
+            if self.strict_identity:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        if claim and theirs is None and self.stream_id is not None:
+            self.fs.mkdirs(self._spool_dir())
+            self.fs.write_text_atomic(marker, self.stream_id)
 
     def _footer_rows(self, path: str) -> int:
         """Row count of one staged batch dir from parquet footers (no jobs)."""
@@ -1312,6 +1363,7 @@ class ParquetUpsertTable:
 
     def spool_batch(self, unwrapped: DataFrame, batch_id: int) -> None:
         """Stage one micro-batch's unwrapped rows durably, without merging."""
+        self._check_spool_identity(claim=True)
         label = f"b{batch_id:012d}"
         out = os.path.join(self._spool_dir(), label)
         unwrapped.write.mode("overwrite").parquet(out)
@@ -1335,6 +1387,7 @@ class ParquetUpsertTable:
             self.fs.delete(root)
             self._spool_rows_cache = {}
             return False
+        self._check_spool_identity(claim=False)
         staged = [
             d
             for d in self.fs.list_names(root)

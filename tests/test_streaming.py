@@ -977,3 +977,107 @@ def test_read_keys_string_key_filter_uses_cast_literals(spark, tmp_path):
     t.merge_batch(df, batch_id=1)
     got = t.read_keys([7, 2])  # python ints against a string key column
     assert {x["id"] for x in got.collect()} == {"7", "2"}
+
+
+def test_spool_identity_guards_cross_incarnation_blend(spark, tmp_path):
+    """r17 review pass: staged spool batches OUTLIVE a wiped checkpoint,
+    and the commit-layer identity guard cannot see them (rows from two
+    incarnations arrive in ONE merge under the new stream's batch id).
+    The spool therefore carries its own ``_stream_id`` marker: staging
+    or flushing under a DIFFERENT identity raises; the same identity
+    (a genuine restart from the same checkpoint) proceeds; a marker-less
+    pre-r17 spool is adopted; a None-id handle over a marked spool
+    warns (raises under strict_identity)."""
+    import warnings as _w
+
+    tdir = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, stream_id="sA")
+    rows = spark.createDataFrame(
+        [(1, "a", 100, False)],
+        "id bigint, name string, _scn bigint, __deleted boolean",
+    )
+    t.spool_batch(rows, 0)
+    marker = os.path.join(tdir, "_spool", "_stream_id")
+    assert t.fs.read_text(marker).strip() == "sA"
+
+    # a different incarnation must not stage into, or flush, sA's spool
+    other = ParquetUpsertTable(spark, tdir, key="id", stream_id="sB")
+    with pytest.raises(RuntimeError, match="spool identity collision"):
+        other.spool_batch(rows, 0)
+    with pytest.raises(RuntimeError, match="spool identity collision"):
+        other.flush_spool()
+
+    # the same stream restarting keeps staging and flushing normally
+    same = ParquetUpsertTable(spark, tdir, key="id", stream_id="sA")
+    same.spool_batch(rows, 1)
+    assert same.flush_spool() is True
+    assert not same.fs.exists(marker)  # marker cleared with the spool
+
+    # None-id handle over a marked spool: warn by default, raise strict
+    t.spool_batch(rows, 2)
+    legacy = ParquetUpsertTable(spark, tdir, key="id")
+    with pytest.warns(RuntimeWarning, match="unverifiable spool"):
+        legacy.spool_batch(rows, 3)
+    strict = ParquetUpsertTable(spark, tdir, key="id", strict_identity=True)
+    with pytest.raises(RuntimeError, match="unverifiable spool"):
+        strict.flush_spool()
+    assert t.flush_spool() is True  # the owner can still publish
+
+    # marker-less legacy spool with staged dirs: the first id-carrying
+    # toucher adopts it and stamps the marker
+    t2dir = str(tmp_path / "tbl2")
+    noid = ParquetUpsertTable(spark, t2dir, key="id")
+    noid.spool_batch(rows, 0)  # no marker written (no identity)
+    assert not noid.fs.exists(os.path.join(t2dir, "_spool", "_stream_id"))
+    adopter = ParquetUpsertTable(spark, t2dir, key="id", stream_id="sC")
+    adopter.spool_batch(rows, 1)
+    assert adopter.fs.read_text(
+        os.path.join(t2dir, "_spool", "_stream_id")
+    ).strip() == "sC"
+    assert adopter.flush_spool() is True
+
+
+def test_spool_identity_end_to_end_wiped_checkpoint(spark, tmp_path):
+    """The reachable real-world path: a spooling stream dies below its
+    flush threshold, the checkpoint is WIPED, and a new stream at a
+    DIFFERENT checkpoint reuses the table dir — its first staging must
+    raise instead of silently queueing its rows behind the dead
+    incarnation's; re-running from the SAME checkpoint path (the
+    documented identity limit) proceeds and converges."""
+    src = str(tmp_path / "in")
+    _write_events(src, json_lines(), "all.jsonl")
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    q = materialize_stream(
+        read_cdc_stream(spark, src), table, str(tmp_path / "ckA"),
+        min_batch_events=10**9,  # never flush: rows stay staged
+    )
+    q.awaitTermination(120)
+    assert table.spool_events() > 0  # staged, unpublished, durable
+
+    # same checkpoint path after a wipe: same identity, staging proceeds
+    import shutil
+    shutil.rmtree(tmp_path / "ckA")
+    t_same = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    q2 = materialize_stream(
+        read_cdc_stream(spark, src), t_same, str(tmp_path / "ckA"),
+        min_batch_events=10**9,
+    )
+    q2.awaitTermination(120)
+
+    # different checkpoint: different identity — the stream's staging
+    # raises instead of blending incarnations
+    t_new = ParquetUpsertTable(spark, str(tmp_path / "tbl"), key="id")
+    q3 = materialize_stream(
+        read_cdc_stream(spark, src), t_new, str(tmp_path / "ckB"),
+        min_batch_events=10**9,
+    )
+    with pytest.raises(Exception, match="spool identity collision"):
+        q3.awaitTermination(120)
+        raise RuntimeError(  # pragma: no cover - awaitTermination raised
+            "stream should have failed on the spool identity collision"
+        )
+
+    # the published table converges once the owner flushes
+    assert t_same.flush_spool() is True
+    assert _final_ids(t_same) == _GOLDEN
