@@ -79,8 +79,13 @@ from olr_cdc_oracle_with_dbz_spark.cdc.envelope import (
 )
 from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
 
-#: URI scheme detector (RFC 3986 shape) for checkpoint-path canonicalization
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+#: URI scheme detector (RFC 3986 shape) for checkpoint-path canonicalization.
+#: Requires 2+ scheme characters (r17 ADVICE): RFC 3986 permits one-letter
+#: schemes, but in practice a one-letter "scheme" is a Windows drive spec
+#: (``C:/ckpt``) — a LOCAL path that must canonicalize through abspath like
+#: any other scheme-less spelling, not skip it. No Hadoop filesystem
+#: registers a single-letter scheme.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:")
 
 
 def _canon_ckpt_path(path: str) -> str:
@@ -92,15 +97,34 @@ def _canon_ckpt_path(path: str) -> str:
     and permanently wedges on a spurious batch-id-collision raise — the
     exact failure the trailing-slash strip was added to avoid, via a
     different spelling. Scheme-less local paths canonicalize through
-    ``os.path.abspath`` (which also collapses ``//`` and ``.``); URI
-    paths (``hdfs://``, ``s3a://``, ``file:/``) keep their spelling
+    ``os.path.abspath`` (which also collapses ``//`` and ``.``).
+
+    ``file:``-scheme URIs reduce to their LOCAL-path form first (r17
+    ADVICE): ``file:///ckpt/x``, ``file:/ckpt/x``, ``file://localhost/
+    ckpt/x`` and plain ``/ckpt/x`` all name the same location to Hadoop's
+    local filesystem, so they must derive the same stream identity — a
+    restart that switches spelling (e.g. a config templating change)
+    must not wedge on a spurious cross-stream collision. A ``file://``
+    URI with a real (non-localhost) authority is left verbatim — it
+    names a remote host, not this filesystem.
+
+    Other URI schemes (``hdfs://``, ``s3a://``) keep their spelling
     apart from trailing-separator stripping — a full normpath would
     mangle the ``scheme://`` authority slashes, and distributed-store
     URIs are already absolute by construction. A RELATIVE local path
     resolves against the canonicalizer's cwd, so spell checkpoints
-    absolutely in anything restarted from a different directory.
+    absolutely in anything restarted from a different directory (the
+    collision runbook names this caveat — see ``_IDENTITY_CAVEAT``).
     """
     p = path.rstrip("/")
+    if p[:5].lower() == "file:":
+        rest = p[5:]
+        if rest.startswith("//"):
+            authority, sep, tail = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                return p  # remote-host file URI: not this filesystem
+            rest = "/" + tail if sep else "/"
+        p = rest or "/"
     if not _SCHEME_RE.match(p):
         p = os.path.abspath(p)
         # POSIX abspath/normpath PRESERVE a leading double slash
@@ -113,6 +137,22 @@ def _canon_ckpt_path(path: str) -> str:
         if p.startswith("//"):
             p = p[1:]
     return p
+
+
+#: Appended to every cross-stream collision raise (r17 ADVICE #4): the two
+#: canonicalization blind spots are invisible at failure time without this —
+#: an operator seeing "different stream" cannot otherwise distinguish a
+#: genuine fresh-checkpoint reuse from a same-stream restart that merely
+#: changed its working directory or URI spelling.
+_IDENTITY_CAVEAT = (
+    " (Note: auto-derived 'ckpt:' identities canonicalize local and file: "
+    "spellings, but a RELATIVE checkpoint path resolves against the "
+    "driver's cwd and non-file: URI spellings compare near-verbatim — a "
+    "same-stream restart from a different working directory, or with a "
+    "changed hdfs://s3a:// spelling, can raise this spuriously. If this "
+    "is the same stream, re-spell its checkpoint absolutely and "
+    "identically to the original.)"
+)
 
 
 _CURRENT = "_CURRENT"  # legacy (pre-r13) pointer file, read-only migration
@@ -1077,7 +1117,7 @@ class ParquetUpsertTable:
                     f"batch. Point the new stream at a new table dir, or "
                     f"compact() then vacuum(keep=1) first (re-roots every "
                     f"bucket under a fresh label and retires the old "
-                    f"records)"
+                    f"records)." + _IDENTITY_CAVEAT
                 )
             self._unverifiable_replay(manifest.get("stream_id"), label)
             return  # this batch's commit is already durable: replay no-op
@@ -1132,7 +1172,7 @@ class ParquetUpsertTable:
                         f"Point the new stream at a new table dir, or "
                         f"compact() then vacuum(keep=1) first (re-roots "
                         f"every bucket under a fresh label and retires "
-                        f"the old records)"
+                        f"the old records)." + _IDENTITY_CAVEAT
                     )
                 self._unverifiable_replay(owner.get("stream_id"), label)
                 return  # committed replay below head: rows already live
@@ -1290,7 +1330,7 @@ class ParquetUpsertTable:
     def _spool_dir(self) -> str:
         return os.path.join(self.table_dir, self._SPOOL)
 
-    def _check_spool_identity(self, claim: bool) -> None:
+    def _check_spool_identity(self, claim: bool) -> str | None:
         """The spool-layer twin of the commit-record replay identity (r17
         review pass): staged batches OUTLIVE a wiped checkpoint, so a
         fresh incarnation's threshold flush would otherwise merge a
@@ -1302,15 +1342,29 @@ class ParquetUpsertTable:
         (``claim=True``); every later staging or flush compares it with
         :meth:`_canon_id` semantics and raises on a different stream —
         clear the stale spool (``fs.delete(<table>/_spool)``) or point
-        the new stream at a new table dir. Marker-less spools with
-        existing staged dirs (pre-r17 staging) are adopted by the first
-        id-carrying toucher, preserving legacy behavior; a None-id handle
-        over an id-marked spool warns, or raises under
-        ``strict_identity`` — same posture as the commit side. The
-        marker is deleted with the spool dir on every flush, so each
-        coalescing window re-claims it.
+        the new stream at a new table dir. The marker is deleted with
+        the spool dir on every flush, so each coalescing window
+        re-claims it. Returns the marker's value (None if absent).
+
+        Both UNVERIFIABLE mixes are loud (warn; raise under
+        ``strict_identity``), mirroring the commit side:
+
+        * a None-id handle over an id-MARKED spool — merging (or, on the
+          zero-event path, deleting) another stream's claim cannot be
+          verified as same-stream;
+        * an id-carrying handle over a MARKER-LESS spool that already
+          holds staged batch dirs (r17 ADVICE #3 / r18 order #7): those
+          dirs were written before identity stamping or by an id-less
+          incarnation, so adopting them merges unverified rows into this
+          stream's batch under this stream's batch id. Pre-r17 legacy
+          spools adopt-with-a-warning rather than silently; the warning
+          fires exactly once per spool (staging immediately claims the
+          marker, so later touches compare equal). An id-carrying handle
+          claiming an EMPTY marker-less spool (the normal first staging
+          of a coalescing window) stays silent.
         """
-        marker = os.path.join(self._spool_dir(), self._SPOOL_ID)
+        root = self._spool_dir()
+        marker = os.path.join(root, self._SPOOL_ID)
         theirs = None
         if self.fs.exists(marker):
             theirs = self.fs.read_text(marker).strip() or None
@@ -1322,7 +1376,7 @@ class ParquetUpsertTable:
                 f"would merge another incarnation's staged rows into "
                 f"this stream's batch. Clear the stale spool "
                 f"({self._spool_dir()}) if those rows are superseded, or "
-                f"point this stream at a new table dir"
+                f"point this stream at a new table dir." + _IDENTITY_CAVEAT
             )
         if theirs is not None and self.stream_id is None:
             msg = (
@@ -1336,9 +1390,31 @@ class ParquetUpsertTable:
             if self.strict_identity:
                 raise RuntimeError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=3)
-        if claim and theirs is None and self.stream_id is not None:
-            self.fs.mkdirs(self._spool_dir())
-            self.fs.write_text_atomic(marker, self.stream_id)
+        if theirs is None and self.stream_id is not None:
+            legacy = [
+                d
+                for d in self.fs.list_names(root)
+                if d != self._SPOOL_ID and self.fs.is_dir(os.path.join(root, d))
+            ]
+            if legacy:
+                msg = (
+                    f"unverifiable spool adoption on {self.table_dir}: "
+                    f"{len(legacy)} staged micro-batch dir(s) carry no "
+                    f"stream identity (written before identity stamping, "
+                    f"or by an id-less writer), but this handle is stream "
+                    f"{self.stream_id!r} — merging them into this "
+                    f"stream's batch cannot be verified as same-stream. "
+                    f"Clear {self._spool_dir()} if the rows are "
+                    f"superseded, or flush them with an id-less handle "
+                    f"first."
+                )
+                if self.strict_identity:
+                    raise RuntimeError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            if claim:
+                self.fs.mkdirs(root)
+                self.fs.write_text_atomic(marker, self.stream_id)
+        return theirs
 
     def _footer_rows(self, path: str) -> int:
         """Row count of one staged batch dir from parquet footers (no jobs)."""
@@ -1381,9 +1457,21 @@ class ParquetUpsertTable:
         Returns True if a merge ran. ``batch_id`` defaults to the highest
         staged micro-batch's id, so an end-of-stream tail flush (see
         :func:`run_to_completion`) versions under the last batch it covers.
+
+        The zero-events early return ALSO runs the identity check first
+        (r17 ADVICE #2): the spool root can hold another stream's
+        ``_stream_id`` marker and zero-ROW staged dirs, and deleting it
+        unchecked would silently clear that stream's claim — a foreign-id
+        handle raises, and a None-id handle over a marked spool warns and
+        LEAVES the claimed (empty) spool in place instead of deleting it.
         """
         root = self._spool_dir()
         if self.spool_events() == 0:
+            theirs = self._check_spool_identity(claim=False)
+            if theirs is not None and self.stream_id is None:
+                # warned above: do not clear another stream's claim
+                self._spool_rows_cache = {}
+                return False
             self.fs.delete(root)
             self._spool_rows_cache = {}
             return False

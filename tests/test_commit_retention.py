@@ -998,10 +998,22 @@ def test_ckpt_id_canonicalization_spellings(spark, tmp_path):
     assert _canon_ckpt_path(str(tmp_path) + "/./ckpt/") == base
     rel = _os.path.relpath(base)
     assert _canon_ckpt_path(rel) == base  # cwd-resolved
-    # URIs: trailing strip only, authority slashes untouched
+    # non-file: URIs: trailing strip only, authority slashes untouched
     assert _canon_ckpt_path("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
     assert _canon_ckpt_path("s3a://bkt/ck/") == "s3a://bkt/ck"
-    assert _canon_ckpt_path("file:/x/y/") == "file:/x/y"
+    # file: URIs reduce to their local-path form (r17 ADVICE #1): all
+    # these spellings name ONE location to Hadoop's local filesystem, so
+    # they must derive ONE stream identity
+    assert _canon_ckpt_path("file:/x/y/") == "/x/y"
+    assert _canon_ckpt_path("file:///x/y") == "/x/y"
+    assert _canon_ckpt_path("file://localhost/x/y") == "/x/y"
+    assert _canon_ckpt_path("FILE:///x//y/") == "/x/y"  # scheme case-insens.
+    assert _canon_ckpt_path("file:///x/y") == _canon_ckpt_path("/x/y")
+    # a real remote authority is NOT this filesystem: verbatim
+    assert _canon_ckpt_path("file://nas01/x/y") == "file://nas01/x/y"
+    # single-letter "schemes" are Windows drive specs, i.e. local paths —
+    # they canonicalize through abspath instead of skipping it
+    assert _canon_ckpt_path("C:/ckpt") == _os.path.abspath("C:/ckpt")
 
     # comparison canonicalizes BOTH sides, so records stamped verbatim by
     # a pre-r17 release under a doubled-slash spelling keep comparing

@@ -299,3 +299,118 @@ def test_ckpt_canonicalization_spelling_invariance(segs, doubles, dots, trail):
     uri = "hdfs://nn:8020" + base
     assert _canon_ckpt_path(uri + "///") == uri
     assert _canon_ckpt_path(uri) == uri
+
+
+# ---------------------------------------------------------------------------
+# r18 order #7: spool-layer identity state machine. The claim / adopt /
+# warn / raise / delete decisions around the ``_stream_id`` marker are pure
+# driver-side metadata when every staged dir is zero-row (footer count 0),
+# so hypothesis can grind random interleavings of three actors — stream A,
+# stream B, and an id-less legacy handle — against a plain-Python model.
+# The target invariant is the r17 VERDICT's adversarial question: is every
+# unverifiable mix LOUD in every reachable state (no actor ever silently
+# merges/deletes rows it cannot prove are its own), and does a foreign-id
+# actor NEVER mutate another stream's claimed spool?
+# ---------------------------------------------------------------------------
+
+_ACTORS = {"A": "sA", "B": "sB", "N": None}
+
+_SPOOL_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(sorted(_ACTORS)),
+        st.sampled_from(["stage", "flush"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_SPOOL_OPS)
+def test_spool_identity_state_machine(tmp_path_factory, ops):
+    import warnings as _w
+
+    root = str(tmp_path_factory.mktemp("spool"))
+    fs = LocalFS()
+    handles = {
+        name: _new_table_noid(root, fs, sid) for name, sid in _ACTORS.items()
+    }
+
+    # model: marker value (None = unmarked), count of staged dirs
+    marker: str | None = None
+    dirs = 0
+    seq = 0
+
+    def stage(t, label):
+        # spool_batch minus the Spark write: identity check + claim, then
+        # a zero-row staged dir lands via the same fs seam
+        t._check_spool_identity(claim=True)
+        d = os.path.join(t._spool_dir(), label)
+        fs.mkdirs(d)
+        t._spool_rows_cache = None  # fresh handle semantics per op
+
+    for actor, action in ops:
+        t = handles[actor]
+        t._spool_rows_cache = None  # re-derive from disk like a fresh handle
+        mine = _ACTORS[actor]
+        foreign = marker is not None and mine is not None and marker != mine
+        unverifiable_none = marker is not None and mine is None
+        adoption = marker is None and mine is not None and dirs > 0
+        seq += 1
+        label = f"b{seq:012d}"
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            if foreign:
+                # LOUD + state untouched, both paths
+                with pytest.raises(RuntimeError, match="spool identity"):
+                    stage(t, label) if action == "stage" else t.flush_spool()
+            elif action == "stage":
+                stage(t, label)
+                dirs += 1
+                if marker is None and mine is not None:
+                    marker = mine  # claimed (adoption or fresh)
+            else:  # flush (always zero events in this grind)
+                assert t.flush_spool() is False
+                if not unverifiable_none:
+                    marker, dirs = None, 0  # spool cleared
+                # else: claim and dirs left in place
+
+        warned = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+        if foreign:
+            assert not warned
+        elif unverifiable_none:
+            assert any("unverifiable spool" in str(w.message) for w in warned)
+        elif adoption:
+            assert any(
+                "unverifiable spool adoption" in str(w.message) for w in warned
+            )
+        else:
+            assert not warned, [str(w.message) for w in warned]
+
+        # disk agrees with the model after every op
+        mpath = os.path.join(root, "_spool", "_stream_id")
+        got = fs.read_text(mpath).strip() if fs.exists(mpath) else None
+        assert got == marker
+        on_disk = [
+            d
+            for d in fs.list_names(os.path.join(root, "_spool"))
+            if d != "_stream_id"
+        ]
+        assert len(on_disk) == dirs
+
+
+def _new_table_noid(root: str, fs, stream_id):
+    return ParquetUpsertTable(
+        None,
+        root,
+        key="id",
+        n_buckets=4,
+        fs=fs,
+        retain_commits=0,
+        stream_id=stream_id,
+    )

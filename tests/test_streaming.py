@@ -1024,17 +1024,85 @@ def test_spool_identity_guards_cross_incarnation_blend(spark, tmp_path):
     assert t.flush_spool() is True  # the owner can still publish
 
     # marker-less legacy spool with staged dirs: the first id-carrying
-    # toucher adopts it and stamps the marker
+    # toucher adopts it — but LOUDLY (r17 ADVICE #3 / r18 order #7): the
+    # staged rows were written by an id-less incarnation, so merging them
+    # under this stream's batch id cannot be verified as same-stream.
+    # Warn by default (legacy compat), raise under strict_identity; the
+    # adoption stamps the marker so the warning fires once per spool.
     t2dir = str(tmp_path / "tbl2")
     noid = ParquetUpsertTable(spark, t2dir, key="id")
     noid.spool_batch(rows, 0)  # no marker written (no identity)
     assert not noid.fs.exists(os.path.join(t2dir, "_spool", "_stream_id"))
+    strict_adopter = ParquetUpsertTable(
+        spark, t2dir, key="id", stream_id="sD", strict_identity=True
+    )
+    with pytest.raises(RuntimeError, match="unverifiable spool adoption"):
+        strict_adopter.spool_batch(rows, 1)
+    with pytest.raises(RuntimeError, match="unverifiable spool adoption"):
+        strict_adopter.flush_spool()  # the flush-only path is loud too
     adopter = ParquetUpsertTable(spark, t2dir, key="id", stream_id="sC")
-    adopter.spool_batch(rows, 1)
+    with pytest.warns(RuntimeWarning, match="unverifiable spool adoption"):
+        adopter.spool_batch(rows, 1)
     assert adopter.fs.read_text(
         os.path.join(t2dir, "_spool", "_stream_id")
     ).strip() == "sC"
-    assert adopter.flush_spool() is True
+    assert adopter.flush_spool() is True  # claimed: no second warning
+
+    # ...while an id-carrying handle claiming an EMPTY spool (the normal
+    # first staging of every coalescing window) stays silent
+    t3dir = str(tmp_path / "tbl3")
+    fresh = ParquetUpsertTable(spark, t3dir, key="id", stream_id="sE")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        fresh.spool_batch(rows, 0)
+    assert fresh.flush_spool() is True
+
+
+def test_flush_spool_zero_events_respects_identity(spark, tmp_path):
+    """r17 ADVICE #2: flush_spool's zero-events early return used to
+    delete the spool root UNCHECKED — including another stream's
+    ``_stream_id`` marker and its zero-row staged dirs. Now the identity
+    check runs first: a foreign-id handle raises, a None-id handle over a
+    marked spool warns and leaves the claim in place, and the owner (or a
+    wholly unmarked spool) still cleans up."""
+    import warnings as _w
+
+    tdir = str(tmp_path / "tbl")
+    owner = ParquetUpsertTable(spark, tdir, key="id", n_buckets=4, stream_id="sA")
+    empty = spark.createDataFrame(
+        [], "id bigint, name string, _scn bigint, __deleted boolean"
+    )
+    owner.spool_batch(empty, 0)  # zero rows staged; marker claimed by sA
+    marker = os.path.join(tdir, "_spool", "_stream_id")
+    assert owner.fs.read_text(marker).strip() == "sA"
+
+    # foreign-id handle: raise, nothing deleted
+    other = ParquetUpsertTable(spark, tdir, key="id", stream_id="sB")
+    assert other.spool_events() == 0
+    with pytest.raises(RuntimeError, match="spool identity collision"):
+        other.flush_spool()
+    assert owner.fs.exists(marker)
+
+    # None-id handle: warn (raise under strict) and LEAVE the claim
+    legacy = ParquetUpsertTable(spark, tdir, key="id")
+    with pytest.warns(RuntimeWarning, match="unverifiable spool"):
+        assert legacy.flush_spool() is False
+    assert owner.fs.exists(marker)  # claim not cleared
+    strict = ParquetUpsertTable(spark, tdir, key="id", strict_identity=True)
+    with pytest.raises(RuntimeError, match="unverifiable spool"):
+        strict.flush_spool()
+    assert owner.fs.exists(marker)
+
+    # the owner's own zero-event flush clears its spool as before
+    assert owner.flush_spool() is False
+    assert not owner.fs.exists(marker)
+
+    # and a None-id handle over a wholly unmarked spool still cleans up
+    # silently (pre-r17 behavior, nothing to verify against)
+    noid = ParquetUpsertTable(spark, str(tmp_path / "tbl2"), key="id")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert noid.flush_spool() is False
 
 
 def test_spool_identity_end_to_end_wiped_checkpoint(spark, tmp_path):
