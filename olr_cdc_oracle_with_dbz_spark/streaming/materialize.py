@@ -117,7 +117,14 @@ def _canon_ckpt_path(path: str) -> str:
     collision runbook names this caveat — see ``_IDENTITY_CAVEAT``).
     """
     p = path.rstrip("/")
-    if p[:5].lower() == "file:":
+    m = _SCHEME_RE.match(p)
+    if m:
+        # RFC 3986: schemes are case-insensitive — HDFS://nn/x and
+        # hdfs://nn/x name one location to Hadoop, so they must derive
+        # one identity. Authority/path case is left alone (object-store
+        # keys ARE case-sensitive).
+        p = p[: m.end()].lower() + p[m.end():]
+    if p[:5] == "file:":
         rest = p[5:]
         if rest.startswith("//"):
             authority, sep, tail = rest[2:].partition("/")

@@ -998,9 +998,12 @@ def test_ckpt_id_canonicalization_spellings(spark, tmp_path):
     assert _canon_ckpt_path(str(tmp_path) + "/./ckpt/") == base
     rel = _os.path.relpath(base)
     assert _canon_ckpt_path(rel) == base  # cwd-resolved
-    # non-file: URIs: trailing strip only, authority slashes untouched
+    # non-file: URIs: trailing strip + scheme lowercasing only, authority
+    # slashes and path case untouched
     assert _canon_ckpt_path("hdfs://nn:8020/a/b/") == "hdfs://nn:8020/a/b"
     assert _canon_ckpt_path("s3a://bkt/ck/") == "s3a://bkt/ck"
+    assert _canon_ckpt_path("HDFS://nn:8020/a/b") == "hdfs://nn:8020/a/b"
+    assert _canon_ckpt_path("s3a://bkt/CK") == "s3a://bkt/CK"  # key case kept
     # file: URIs reduce to their local-path form (r17 ADVICE #1): all
     # these spellings name ONE location to Hadoop's local filesystem, so
     # they must derive ONE stream identity
