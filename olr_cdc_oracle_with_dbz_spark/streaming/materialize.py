@@ -1374,7 +1374,16 @@ class ParquetUpsertTable:
         marker = os.path.join(root, self._SPOOL_ID)
         theirs = None
         if self.fs.exists(marker):
-            theirs = self.fs.read_text(marker).strip() or None
+            try:
+                theirs = self.fs.read_text(marker).strip() or None
+            except OSError:
+                # vanished between exists and read: a flush cleared the
+                # spool concurrently. A FOREIGN flush would have raised
+                # rather than cleared, so the deleter was this stream (or
+                # an unmarked legacy spool's cleanup) — same meaning as
+                # no marker. The commit log's _record tolerates the
+                # identical listing-vs-vacuum race (ADVICE r13).
+                theirs = None
         if self._other_stream(self.stream_id, theirs):
             raise RuntimeError(
                 f"spool identity collision on {self.table_dir}: staged "

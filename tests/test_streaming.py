@@ -1058,6 +1058,31 @@ def test_spool_identity_guards_cross_incarnation_blend(spark, tmp_path):
     assert fresh.flush_spool() is True
 
 
+def test_spool_marker_vanishing_mid_check_reads_as_absent(spark, tmp_path):
+    """r18 review pass: the marker check is exists-then-read, so a
+    concurrent same-stream flush can delete the marker between the two
+    calls — that must read as 'no marker' (the deleter was this stream;
+    a foreign flush raises instead of clearing), not surface a raw
+    FileNotFoundError from the seam. Same posture as _record vs a
+    concurrent vacuum (ADVICE r13)."""
+    from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+
+    class VanishingFS(LocalFS):
+        def read_text(self, path: str) -> str:
+            if path.endswith("_stream_id"):
+                raise FileNotFoundError(path)  # deleted after exists()
+            return super().read_text(path)
+
+    tdir = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(
+        spark, tdir, key="id", n_buckets=4, fs=VanishingFS(), stream_id="sA"
+    )
+    # pre-create the marker so exists() is True, then the read "races"
+    LocalFS().write_text_atomic(os.path.join(tdir, "_spool", "_stream_id"), "sA")
+    assert t._check_spool_identity(claim=True) is None  # absent, re-claimed
+    assert t.flush_spool() is False  # zero events; no raw OSError either
+
+
 def test_flush_spool_zero_events_respects_identity(spark, tmp_path):
     """r17 ADVICE #2: flush_spool's zero-events early return used to
     delete the spool root UNCHECKED — including another stream's
