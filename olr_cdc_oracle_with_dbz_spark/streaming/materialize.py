@@ -116,7 +116,12 @@ def _canon_ckpt_path(path: str) -> str:
     absolutely in anything restarted from a different directory (the
     collision runbook names this caveat — see ``_IDENTITY_CAVEAT``).
     """
-    p = path.rstrip("/")
+    # The strip must not erase a ROOT path (r18 ADVICE): '/', '//', '///'
+    # would otherwise reduce to '' and abspath('') resolves to the CWD —
+    # a root checkpoint would canonicalize to the working directory, and
+    # 'file:///' (which correctly reduces to '/') would derive a
+    # DIFFERENT identity than plain '/'.
+    p = path.rstrip("/") or "/"
     m = _SCHEME_RE.match(p)
     if m:
         # RFC 3986: schemes are case-insensitive — HDFS://nn/x and
@@ -128,7 +133,10 @@ def _canon_ckpt_path(path: str) -> str:
         rest = p[5:]
         if rest.startswith("//"):
             authority, sep, tail = rest[2:].partition("/")
-            if authority not in ("", "localhost"):
+            # RFC 3986 hosts are case-insensitive, same as the scheme
+            # fold above (r18 ADVICE): file://LOCALHOST/x is this
+            # filesystem, not a remote host.
+            if authority.lower() not in ("", "localhost"):
                 return p  # remote-host file URI: not this filesystem
             rest = "/" + tail if sep else "/"
         p = rest or "/"
@@ -1337,7 +1345,9 @@ class ParquetUpsertTable:
     def _spool_dir(self) -> str:
         return os.path.join(self.table_dir, self._SPOOL)
 
-    def _check_spool_identity(self, claim: bool) -> str | None:
+    def _check_spool_identity(
+        self, claim: bool, zero_event_delete: bool = False
+    ) -> str | None:
         """The spool-layer twin of the commit-record replay identity (r17
         review pass): staged batches OUTLIVE a wiped checkpoint, so a
         fresh incarnation's threshold flush would otherwise merge a
@@ -1368,7 +1378,12 @@ class ParquetUpsertTable:
           fires exactly once per spool (staging immediately claims the
           marker, so later touches compare equal). An id-carrying handle
           claiming an EMPTY marker-less spool (the normal first staging
-          of a coalescing window) stays silent.
+          of a coalescing window) stays silent — as does the zero-event
+          DELETE path (``zero_event_delete=True``, r18 ADVICE #3): there
+          the marker-less dirs are provably zero-row and about to be
+          deleted, not merged, so no unverified rows can enter any batch
+          and the adoption warning's merge language would misdescribe
+          the action.
         """
         root = self._spool_dir()
         marker = os.path.join(root, self._SPOOL_ID)
@@ -1412,7 +1427,14 @@ class ParquetUpsertTable:
                 for d in self.fs.list_names(root)
                 if d != self._SPOOL_ID and self.fs.is_dir(os.path.join(root, d))
             ]
-            if legacy:
+            # r18 ADVICE #3: on the zero-event FLUSH path the marker-less
+            # dirs are provably zero-row (spool_events()==0 counted their
+            # footers) and are about to be DELETED, not merged — the
+            # adoption warning's "merging them ... cannot be verified"
+            # text would misdescribe the action, and there is no claim or
+            # data to protect, so the unverifiable-adoption posture does
+            # not apply here.
+            if legacy and not zero_event_delete:
                 msg = (
                     f"unverifiable spool adoption on {self.table_dir}: "
                     f"{len(legacy)} staged micro-batch dir(s) carry no "
@@ -1480,10 +1502,16 @@ class ParquetUpsertTable:
         unchecked would silently clear that stream's claim — a foreign-id
         handle raises, and a None-id handle over a marked spool warns and
         LEAVES the claimed (empty) spool in place instead of deleting it.
+        An id-carrying handle over MARKER-LESS zero-row dirs deletes them
+        silently (r18 ADVICE #3): no claim exists and no rows are merged
+        or lost, so the unverifiable-adoption warning (whose text
+        describes a merge) is suppressed on this path.
         """
         root = self._spool_dir()
         if self.spool_events() == 0:
-            theirs = self._check_spool_identity(claim=False)
+            theirs = self._check_spool_identity(
+                claim=False, zero_event_delete=True
+            )
             if theirs is not None and self.stream_id is None:
                 # warned above: do not clear another stream's claim
                 self._spool_rows_cache = {}

@@ -1014,6 +1014,19 @@ def test_ckpt_id_canonicalization_spellings(spark, tmp_path):
     assert _canon_ckpt_path("file:///x/y") == _canon_ckpt_path("/x/y")
     # a real remote authority is NOT this filesystem: verbatim
     assert _canon_ckpt_path("file://nas01/x/y") == "file://nas01/x/y"
+    # r18 ADVICE #1: RFC 3986 hosts are case-insensitive like schemes —
+    # an authority-case change across restarts is still THIS filesystem
+    assert _canon_ckpt_path("file://LOCALHOST/x/y") == "/x/y"
+    assert _canon_ckpt_path("file://Localhost/x/y") == "/x/y"
+    assert _canon_ckpt_path("FILE://NAS01/x/y") == "file://NAS01/x/y"
+    # r18 ADVICE #2: root spellings survive the trailing strip — '' would
+    # abspath to the CWD, and file:/// (→ '/') would then diverge from '/'
+    assert _canon_ckpt_path("/") == "/"
+    assert _canon_ckpt_path("//") == "/"
+    assert _canon_ckpt_path("///") == "/"
+    assert _canon_ckpt_path("file:///") == "/"
+    assert _canon_ckpt_path("file://localhost/") == "/"
+    assert _canon_ckpt_path("file:///") == _canon_ckpt_path("/")
     # single-letter "schemes" are Windows drive specs, i.e. local paths —
     # they canonicalize through abspath instead of skipping it
     assert _canon_ckpt_path("C:/ckpt") == _os.path.abspath("C:/ckpt")

@@ -1129,6 +1129,26 @@ def test_flush_spool_zero_events_respects_identity(spark, tmp_path):
         _w.simplefilter("error")
         assert noid.flush_spool() is False
 
+    # r18 ADVICE #3: an id-carrying handle over a MARKER-LESS spool whose
+    # staged dirs are provably zero-row deletes them SILENTLY on the
+    # zero-event flush path — the adoption warning's "merging them ...
+    # cannot be verified" text would misdescribe a delete, and no rows
+    # are merged or lost (the dirs' footers counted zero). The staging
+    # and non-zero flush paths stay loud — see
+    # test_spool_identity_guards_cross_incarnation_blend.
+    t3dir = str(tmp_path / "tbl3")
+    noid3 = ParquetUpsertTable(spark, t3dir, key="id")
+    noid3.spool_batch(empty, 0)  # marker-less zero-row staged dir
+    assert not noid3.fs.exists(os.path.join(t3dir, "_spool", "_stream_id"))
+    adopter = ParquetUpsertTable(
+        spark, t3dir, key="id", stream_id="sC", strict_identity=True
+    )
+    assert adopter.spool_events() == 0
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert adopter.flush_spool() is False  # silent even under strict
+    assert not adopter.fs.exists(os.path.join(t3dir, "_spool"))
+
 
 def test_spool_identity_end_to_end_wiped_checkpoint(spark, tmp_path):
     """The reachable real-world path: a spooling stream dies below its
