@@ -87,78 +87,12 @@ def register(
 #: rounds behind, so the STALEST queries always lead, followed by canaries
 #: for code touched this round, then the refresh block.
 DRIVER_FIRST: tuple[str, ...] = (
-    # --- r18 rotation. Window budget ~50 (r11-r17 = exactly 50); invariant:
+    # --- r19 rotation. Window budget ~50 (r11-r18 = exactly 50); invariant:
     # no query's latest green falls more than 3 rounds behind, STALEST lead.
-    # Computed from CORRECTNESS_r01-r17: 9 rows r15-green, 47 r16-green,
-    # 50 r17-green.
-    # (1) The 9 rows whose latest green is r15 (3 rounds stale this round -
-    #     the r17 verdict's named rotation order #1; they MUST all clear).
-    "u1_python_udf",
-    "u2_pandas_udf",
-    "u3_apply_in_pandas",
-    "u4_udaf_weighted_avg",
-    "u4b_weighted_avg_builtin",
-    "u5_tokenize_udtf",
-    "q44b_pivot",
-    "q44c_unpivot",
-    "q49_cte",
-    # (2) r18 CANARY - this round touches streaming/materialize.py again
-    #     (the r17-ADVICE items: file:-URI canonicalization, flush_spool
-    #     zero-event identity check, marker-less spool adoption warning,
-    #     cwd caveat in the collision runbook; plus the ordered adversarial
-    #     pass on the legacy-spool adoption path). q52 merges through the
-    #     upsert table + commit log + spool; q50b drives the evolved
-    #     envelope through the same protocol.
-    "q52_upsert_compaction",
-    "q50b_envelope_evolved",
-    # (3) r16-green refresh (2 rounds stale): 39 of the 47 r16 rows fit
-    #     the ~50 window on top of (1)+(2). The 8 cut (set-ops / sort /
-    #     limit / string / frames - the most change-stable pure-Catalyst
-    #     block, plans pinned in tests/test_plans.py) stay r16-green and
-    #     are staged below the cutoff to LEAD r19 at exactly 3 rounds
-    #     stale.
-    "l1_exact_dedup",
-    "l2b_ngram_jaccard",
-    "l2fv_minhash_ml_recall",
-    "l2v_minhash_recall",
-    "l3_cosine_topk",
-    "l4bv_bruteforce_agreement",
-    "l4cv_ann_ivf_recall",
-    "l4dv_ann_brp_recall",
-    "l4v_ann_lsh_recall",
-    "l5_text_stats",
-    "l5b_lang_id",
-    "l5c_quality_score",
-    "l5d_redact_pii",
-    "l5e_boilerplate",
-    "l6_tfidf",
-    "l7_fingerprint",
-    "l8_curation_pipeline",
-    "l9_train_split",
-    "l9b_stratified_sample",
-    "m1_multimodal_meta",
-    "m2_multimodal_features",
-    "q02_scan_pruned",
-    "q04_parquet_roundtrip",
-    "q13_inner_join",
-    "q13b_join_cobucketed",
-    "q20_multiway_join",
-    "q20b_multiway_cobucketed",
-    "q22_hash_agg_tpch_q1",
-    "q24_global_agg",
-    "q26_having",
-    "q27_stats_aggs",
-    "q30_filtered_agg",
-    "q41_datetime_funcs",
-    "q50_envelope_parse",
-    "q51_unwrap",
-    "q54_changelog_stats",
-    "s2_tumbling_window",
-    "s3_sliding_window",
-    "s4_session_window",
-    # --- ~50-row window cutoff lands here; the tail below is the most
-    # change-stable r16 block, staged to LEAD r19 at exactly 3 rounds
-    # stale if the window cuts above them.
+    # Computed from CORRECTNESS_r01-r18 (scripts/staleness.py): 8 rows
+    # r16-green, 48 r17-green, 50 r18-green.
+    # (1) The 8 rows whose latest green is r16 (3 rounds stale this round -
+    #     the r18 verdict's named rotation order #1; they MUST all clear).
     "q33_frames",
     "q35_multikey_sort",
     "q36_limit_topk",
@@ -167,6 +101,71 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q38b_except",
     "q39_distinct",
     "q40_string_funcs",
+    # (2) r19 CANARY - this round touches streaming/materialize.py (the
+    #     three r18-ADVICE items: file:// authority case fold, root-path
+    #     rstrip guard, zero-event-flush adoption-warning suppression) and
+    #     cdc/schema_registry.py (verdict order #3: torn-DDL hardening).
+    #     q52 merges through the upsert table + commit log + spool; q50b
+    #     drives the evolved envelope through the schema-snapshot protocol.
+    "q52_upsert_compaction",
+    "q50b_envelope_evolved",
+    # (3) r17-green refresh (2 rounds stale): 40 of the 48 r17 rows fit
+    #     the ~50 window on top of (1)+(2). The 8 cut (the q05-q11
+    #     projection/filter/predicate block - pure-Catalyst, plans pinned
+    #     in tests/test_plans.py, untouched since r8) stay r17-green and
+    #     are staged below the cutoff to LEAD r20 at exactly 3 rounds
+    #     stale.
+    "l2c_simhash",
+    "l2d_embedding_neardup",
+    "l2e_dup_clusters",
+    "q01_scan_full",
+    "q03_csv_roundtrip",
+    "q03b_json_roundtrip",
+    "q12_cast_matrix",
+    "q14_broadcast_join",
+    "q15_outer_joins",
+    "q15b_full_outer",
+    "q16_semi_join",
+    "q17_anti_join",
+    "q18_range_join",
+    "q19_cross_join",
+    "q21_asof_join",
+    "q21b_funnel",
+    "q21c_retention",
+    "q23_count_distinct",
+    "q25_rollup",
+    "q25b_cube",
+    "q25c_grouping_sets",
+    "q28_percentile",
+    "q29_distinct_exact_vs_approx",
+    "q29b_approx_aggs",
+    "q31_ranking",
+    "q31b_distribution_ranks",
+    "q32_lag_lead",
+    "q34_topk_per_group",
+    "q42_math_funcs",
+    "q43_array_funcs",
+    "q43b_explode",
+    "q43c_higher_order",
+    "q44_struct_map",
+    "q45_json_funcs",
+    "q45b_from_to_json",
+    "q46_hash_misc",
+    "q47_scalar_subquery",
+    "q48_exists_subquery",
+    "q48b_in_subquery",
+    "q53_snapshot_incremental",
+    # --- ~50-row window cutoff lands here; the tail below is the most
+    # change-stable r17 block, staged to LEAD r20 at exactly 3 rounds
+    # stale if the window cuts above them.
+    "q05_arith_projection",
+    "q06_filter_bool",
+    "q07_between_date",
+    "q08_in_list",
+    "q09_like_regex",
+    "q10_null_semantics",
+    "q10b_null_safe_eq",
+    "q11_case_when",
 )
 
 _loaded = False
