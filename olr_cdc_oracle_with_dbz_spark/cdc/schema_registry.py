@@ -22,12 +22,61 @@ storage, so all file bookkeeping routes through the same filesystem seam
 fs=HadoopFS(spark))`` versions schemas on hdfs:// / s3a:// exactly as
 locally. (Pre-r13 registries left a ``_CURRENT`` pointer behind; it is
 simply ignored — highest-N resolves identically.)
+
+TORN-RECORD posture (r19, the r18 review pass's one soft spot): on
+stores where ``create_exclusive`` degrades to a client-enforced fence, a
+writer dying mid-upload can leave a TRUNCATED ``v<N>.ddl`` visible. The
+commit log detects its torn records by JSON parse failure — but a torn
+DDL can truncate at a top-level comma and still be VALID DDL, silently
+dropping the appended columns of an evolution, so parse failure cannot
+be the detector here. Records are therefore self-verifying: every
+registration publishes ``#sha256:<digest>`` on line one and the DDL
+below it (:func:`_seal`), and every read verifies (:func:`_unseal`).
+Plain pre-r19 records (DDL never starts with ``#``) read as-is — they
+were published under LocalFS's hardlink contract, which never publishes
+torn content. A detected torn record behaves like the commit log's torn
+head: reads RAISE loudly (no silent fallback to the pre-evolution
+schema, which would null evolved columns out of every event) while
+:meth:`SchemaRegistry.register` skips it for idempotency matching and
+supersedes it at the next number — so the torn writer's own restart
+re-registers its schema and heals the registry without manual recovery.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
+
+#: Line-one header of a sealed (self-verifying) record. A record starting
+#: with ``#`` MUST carry a valid matching header — a torn prefix of a
+#: sealed record ("#sha2", or header + partial body) can never pass, and a
+#: legacy plain-DDL record can never start with ``#``.
+_SEAL = "#sha256:"
+
+
+def _seal(ddl: str) -> str:
+    digest = hashlib.sha256(ddl.encode("utf-8")).hexdigest()
+    return f"{_SEAL}{digest}\n{ddl}"
+
+
+def _unseal(raw: str) -> str | None:
+    """DDL payload of a record, or None for a TORN sealed record.
+
+    Legacy plain records (no ``#`` prefix) pass through verbatim: they
+    predate sealing and were published complete-or-absent. Any record
+    claiming the sealed format is verified: a missing newline, malformed
+    header, or digest mismatch — every possible truncation of a sealed
+    record — reads as torn.
+    """
+    if not raw.startswith("#"):
+        return raw
+    head, sep, body = raw.partition("\n")
+    if not sep or not head.startswith(_SEAL):
+        return None
+    if hashlib.sha256(body.encode("utf-8")).hexdigest() != head[len(_SEAL):].strip():
+        return None
+    return body
 
 
 class SchemaRegistry:
@@ -57,14 +106,20 @@ class SchemaRegistry:
         text = ddl.strip()
         versions = self.versions()
         for v in reversed(versions):
-            if self.get(v) == text:
+            # torn records (None) can never match — a truncated upload is
+            # not this schema, whatever it was meant to be
+            if self._try_get(v) == text:
                 return v
         version = (versions[-1] if versions else 0) + 1
         while not self.fs.create_exclusive(
-            os.path.join(self.dir, f"v{version}.ddl"), text
+            os.path.join(self.dir, f"v{version}.ddl"), _seal(text)
         ):
-            if self.get(version) == text:
+            if self._try_get(version) == text:
                 return version  # concurrent registrant of the same schema
+            # occupied by a different schema OR a torn record: take the
+            # next number. Superseding a torn record is safe here — its
+            # create is single-shot (already final), and this is exactly
+            # how the dead writer's own restart heals the registry.
             version += 1
         return version
 
@@ -72,8 +127,32 @@ class SchemaRegistry:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _try_get(self, version: int) -> str | None:
+        """DDL of ``version``; None when the record is torn OR was removed
+        between the listing and this read (same normalization as the
+        commit log's ``_record``)."""
+        try:
+            raw = self.fs.read_text(os.path.join(self.dir, f"v{version}.ddl"))
+        except OSError:
+            return None
+        return _unseal(raw)
+
     def get(self, version: int) -> str:
-        return self.fs.read_text(os.path.join(self.dir, f"v{version}.ddl"))
+        raw = self.fs.read_text(os.path.join(self.dir, f"v{version}.ddl"))
+        ddl = _unseal(raw)
+        if ddl is None:
+            path = os.path.join(self.dir, f"v{version}.ddl")
+            raise RuntimeError(
+                f"schema version {version} under {self.dir} is a torn "
+                f"record (a registrant died mid-upload on a store where "
+                f"put-if-absent degrades to a client-enforced fence); "
+                f"refusing to decode with it or silently fall back to the "
+                f"pre-evolution schema. Recover by re-registering the "
+                f"intended schema (it takes the next version and "
+                f"supersedes this one) or, after verifying the writer is "
+                f"dead, deleting {path}."
+            )
+        return ddl
 
     def current(self) -> str:
         v = self.current_version()

@@ -311,3 +311,85 @@ def test_schema_additivity_with_parenthesized_types(tmp_path):
     v2 = reg.register("id bigint, price decimal(10,2), note varchar(64)")
     assert reg.is_additive(v1, v2)
     assert not reg.is_additive(v2, v1)
+
+
+def test_schema_registry_torn_record_detected_and_healed(tmp_path):
+    """r18 review pass / r19 verdict order #3: on stores where
+    ``create_exclusive`` degrades to a client-enforced fence, a registrant
+    dying mid-upload can leave a TRUNCATED ``v<N>.ddl`` visible. A torn
+    DDL can truncate at a top-level comma and still parse as valid DDL
+    (silently dropping the evolution's appended columns), so records are
+    self-verifying (#sha256 header): reads of a torn record RAISE with
+    the recovery runbook instead of decoding with it or silently falling
+    back to the pre-evolution schema, and the dead writer's own restart
+    re-registers past it, healing the registry with no manual step."""
+    import pytest
+
+    from olr_cdc_oracle_with_dbz_spark.cdc.schema_registry import _seal
+    from olr_cdc_oracle_with_dbz_spark.fs import LocalFS
+
+    class TornFS(LocalFS):
+        """Publishes only a PREFIX of each record — the degraded-store
+        mid-upload death, at whatever cut `chop` dictates."""
+
+        def __init__(self, chop):
+            self.chop = chop
+
+        def create_exclusive(self, path: str, text: str) -> bool:
+            return super().create_exclusive(path, self.chop(text))
+
+    evolved = "id bigint, name string, category string"
+    reg = SchemaRegistry(str(tmp_path), "OLR_DB.PRODUCT")
+    assert reg.register("id bigint, name string") == 1
+
+    # the nasty tear: cut at a top-level comma so the payload is VALID
+    # DDL missing the appended column — undetectable by parsing
+    def cut_at_comma(text):
+        head, body = text.split("\n", 1)
+        return head + "\n" + body[: body.rindex(",")]
+
+    torn_writer = SchemaRegistry(
+        str(tmp_path), "OLR_DB.PRODUCT", fs=TornFS(cut_at_comma)
+    )
+    assert torn_writer.register(evolved) == 2  # "published", torn on disk
+    with pytest.raises(RuntimeError, match="torn record"):
+        reg.get(2)
+    with pytest.raises(RuntimeError, match="torn record"):
+        reg.current()  # loud: NO silent fallback to v1
+    assert reg.versions() == [1, 2]  # the torn record occupies its number
+
+    # the dead writer restarts with a healthy fs and re-registers: the
+    # torn v2 never matches idempotency, so the schema lands at v3
+    healed = SchemaRegistry(str(tmp_path), "OLR_DB.PRODUCT")
+    assert healed.register(evolved) == 3
+    assert reg.current() == evolved
+    assert reg.is_additive(1, 3)
+
+    # every other truncation class of a sealed record also reads torn:
+    # mid-header, header-only, header+partial-line — never legacy-plain
+    for chop in (
+        lambda t: t[:4],                      # "#sha"
+        lambda t: t.split("\n", 1)[0],        # full header, no newline
+        lambda t: t[: len(t) // 2],           # header + partial body
+    ):
+        sub = str(tmp_path / chop.__code__.co_name) + repr(chop.__code__.co_firstlineno)
+        torn = SchemaRegistry(sub, "S", fs=TornFS(chop))
+        torn.register("id bigint, name string")
+        with pytest.raises(RuntimeError, match="torn record"):
+            SchemaRegistry(sub, "S").current()
+
+    # legacy pre-sealing records (plain DDL, never starts with '#') read
+    # verbatim and match idempotency — no migration needed
+    legacy_dir = str(tmp_path / "legacy")
+    legacy = SchemaRegistry(legacy_dir, "S")
+    LocalFS().create_exclusive(
+        os.path.join(legacy.dir, "v1.ddl"), "id bigint, name string"
+    )
+    assert legacy.current() == "id bigint, name string"
+    assert legacy.register("id bigint, name string") == 1
+    # and a NEW registration beside a legacy record is sealed + verified
+    assert legacy.register("id bigint, name string, x int") == 2
+    assert legacy.fs.read_text(
+        os.path.join(legacy.dir, "v2.ddl")
+    ).startswith("#sha256:")
+    assert _seal("x") .startswith("#sha256:")
