@@ -185,6 +185,22 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
                     f"col {c!r} differs at row {i}: spark={av.iloc[i]!r} "
                     f"oracle={bv.iloc[i]!r} (max abs diff {d:.3e})"
                 )
+            # r19 harness-mutation pass: -0.0 == 0.0 under IEEE equality,
+            # but the driver hashes a RENDERED form where they differ
+            # ("-0.0" vs "0.0") — a green here with mismatched zero signs
+            # would be a false green. Require signbit equality on zeros.
+            zero = (av == 0.0) & av.notna()
+            if zero.any():
+                sa = np.signbit(av[zero].values.astype("float64"))
+                sb = np.signbit(bv[zero].values.astype("float64"))
+                if not (sa == sb).all():
+                    i = int(av[zero].index[int(np.argmax(sa != sb))])
+                    return False, (
+                        f"col {c!r} differs at row {i}: zero signs "
+                        f"disagree (spark={av.iloc[i]!r} renders "
+                        f"differently than oracle={bv.iloc[i]!r} in the "
+                        f"driver's hashed form)"
+                    )
         else:
             eq = (av == bv) | (av.isna() & bv.isna())
             if not eq.all():
