@@ -300,6 +300,22 @@ def test_ckpt_canonicalization_spelling_invariance(segs, doubles, dots, trail):
     assert _canon_ckpt_path(uri + "///") == uri
     assert _canon_ckpt_path(uri) == uri
 
+    # r18 ADVICE, ground for every generated path: all file:-local
+    # spellings — empty authority, any CASE of localhost, 'file:' with
+    # no slashes — converge on the plain-path identity
+    for spelling in (
+        "file://" + base,
+        "file:" + base,
+        "file://localhost" + base,
+        "file://LOCALHOST" + base,
+        "file://LocalHost" + base,
+        "FILE://" + base,
+    ):
+        assert _canon_ckpt_path(spelling) == canon, spelling
+    # and root spellings never collapse to the CWD
+    assert _canon_ckpt_path("/" * (trail + 1)) == "/"
+    assert _canon_ckpt_path("file:///" + "/" * trail) == "/"
+
 
 # ---------------------------------------------------------------------------
 # r18 order #7: spool-layer identity state machine. The claim / adopt /
