@@ -134,16 +134,35 @@ def quarantine_malformed(
     # mask an older valid row); a null-source row has no (_scn,_ssn)
     # position in the total order. Debezium always emits both, so their
     # absence IS the malformed case (r15 code-review).
-    is_bad = (
+    unparseable = (
         F.col("_e").isNull()
         | F.col("_e.op").isNull()
         | F.col("_e.source").isNull()
     )
+    # r19 review pass: an envelope whose op CLAIMS an image it doesn't
+    # carry is equally malformed — c/u/r events always carry ``after``
+    # and d events always carry ``before`` (full before-images, R17), so
+    # a missing one would flow through unwrap as an all-NULL row image:
+    # a NULL-id junk row that pollutes the keyed merge under the NULL
+    # key group instead of either materializing usefully or surfacing.
+    known_op = F.col("_e.op").isin("c", "u", "r", "d")
+    missing_image = (
+        (F.col("_e.op").isin("c", "u", "r") & F.col("_e.after").isNull())
+        | ((F.col("_e.op") == "d") & F.col("_e.before").isNull())
+    )
+    # ops outside the c/u/r/d contract (e.g. Debezium's truncate "t")
+    # carry no row image the engine can materialize — divert them loudly
+    # rather than manufacture a NULL row (same nothing-vanishes posture).
+    is_bad = unparseable | ~known_op | missing_image
     # good rows reuse the already-parsed struct — re-running from_json on
     # the filtered raw values would double the dominant CPU of ingest
     good = _promote(tagged.filter(~is_bad).select("_e.*"))
     bad = tagged.filter(is_bad).select(
-        F.col(value_col).alias("raw_line"), F.lit("unparseable-envelope").alias("error")
+        F.col(value_col).alias("raw_line"),
+        F.when(unparseable, "unparseable-envelope")
+        .when(~known_op, "unsupported-op")
+        .otherwise("missing-image-for-op")
+        .alias("error"),
     )
     return good, bad
 

@@ -325,3 +325,42 @@ def test_incomplete_envelopes_quarantined_not_silently_dropped(spark):
     # restructure must not change the output shape or values)
     final = E.compact_latest(E.unwrap(E.source_filter(good)))
     assert final.count() == len(EXPECTED_FINAL)
+
+
+def test_op_image_contract_quarantined_with_distinct_tags(spark):
+    """r19 review pass: an envelope whose op claims an image it doesn't
+    carry (c/u/r without after, d without before — Debezium always emits
+    them, R17 full before-images) previously flowed through unwrap as an
+    all-NULL row image: a NULL-id junk row polluting the merge's NULL key
+    group. So do ops outside the c/u/r/d contract (Debezium truncate
+    't'). All now divert to quarantine under distinct error tags; valid
+    events — including deletes carrying ONLY before — stay good."""
+    from olr_cdc_oracle_with_dbz_spark.cdc.envelope import quarantine_malformed
+
+    lines = json_lines()
+    src = '"source": {"scn": 7, "schema": "OLR_DB", "table": "PRODUCT"}'
+    c_no_after = '{"op": "c", "before": {"id": 91}, %s}' % src
+    u_no_after = '{"op": "u", %s}' % src
+    d_no_before = '{"op": "d", "after": {"id": 92}, %s}' % src
+    truncate = '{"op": "t", %s}' % src
+    garbage = "not json at all"
+    raw = spark.createDataFrame(
+        [(s,) for s in lines + [c_no_after, u_no_after, d_no_before, truncate, garbage]],
+        "value string",
+    )
+    good, bad = quarantine_malformed(raw)
+    assert good.count() == len(lines)  # every valid event untouched
+    from collections import Counter
+    counts = Counter(r["error"] for r in bad.collect())
+    assert counts == {
+        "missing-image-for-op": 3,
+        "unsupported-op": 1,
+        "unparseable-envelope": 1,
+    }, counts
+    # deletes with only a before image remain GOOD (the d-contract shape)
+    d_ok = '{"op": "d", "before": {"id": 93}, %s}' % src
+    raw2 = spark.createDataFrame([(d_ok,)], "value string")
+    good2, bad2 = quarantine_malformed(raw2)
+    assert good2.count() == 1 and bad2.count() == 0
+    # and nothing vanishes: good + bad always partitions the input
+    assert good.count() + bad.count() == raw.count()
