@@ -303,8 +303,23 @@ def jdbc_upsert_sink(
         conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             stmt = conn.createStatement()
-            stmt.execute(upsert_statement(table, batch.columns, key, stage=stage))
-            stmt.execute(f"DROP TABLE {stage}")
+            try:
+                stmt.execute(
+                    upsert_statement(table, batch.columns, key, stage=stage)
+                )
+            finally:
+                # r19 review pass: drop the stage on the FAILURE path too —
+                # a failed MERGE previously leaked stage_<table>_<id>
+                # permanently (the batch's replay re-stages under overwrite,
+                # but a batch that is never replayed, e.g. after operator
+                # intervention, left its stage behind forever). The stage is
+                # derived state (re-created from the batch on any retry), so
+                # dropping it can never lose data; a failed drop is
+                # swallowed — the original MERGE error is the one to raise.
+                try:
+                    stmt.execute(f"DROP TABLE {stage}")
+                except Exception:
+                    pass
         finally:
             conn.close()
 

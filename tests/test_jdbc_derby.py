@@ -172,3 +172,28 @@ def test_jdbc_upsert_sink_merge_end_to_end(spark, derby_url):
         names.add(rs.getString("TABLE_NAME").lower())
     conn.close()
     assert not any(n.startswith("stage_") for n in names)
+
+
+def test_jdbc_upsert_sink_failed_merge_drops_stage(spark, derby_url):
+    """r19 review pass: a FAILED MERGE must still drop its stage table —
+    previously only the success path dropped it, so a batch that was
+    never replayed (operator intervention after a poisoned merge) left
+    stage_<table>_<id> behind forever. The stage is derived state,
+    re-created under overwrite on any retry, so the failure-path drop
+    can never lose data; the MERGE error still propagates."""
+    import pytest
+
+    # no target table exists -> the MERGE itself fails after staging
+    sink = jdbc_upsert_sink(derby_url, "no_such_target", "id")
+    b = spark.createDataFrame(
+        [(1, "x", False)], "id bigint, name string, __deleted boolean"
+    )
+    with pytest.raises(Exception):
+        sink(b, 42)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    rs = conn.getMetaData().getTables(None, None, "%", None)
+    names = set()
+    while rs.next():
+        names.add(rs.getString("TABLE_NAME").lower())
+    conn.close()
+    assert "stage_no_such_target_42" not in names, names
