@@ -419,3 +419,61 @@ def test_jdbc_rollback_repolls_undelivered_batch(spark, sf_dir, tmp_path):
     # rollback with nothing pending is a safe no-op
     src.rollback()
     assert src.poll().count() == 0
+
+
+def test_assemble_idle_timeout_evicts_completed_transactions():
+    """r19 review pass (R19 bounded buffer): with NoTimeout, every txid
+    ever seen keeps a state row forever — O(all transactions), not
+    O(open). The idle-timeout form restarts the clock on every touch,
+    evicts on the timeout callback (emitting nothing — the final
+    assembly already went out with the last touching batch), and leaves
+    the legacy keep-everything policy semantically identical for an
+    active stream."""
+    import pandas as pd
+
+    from olr_cdc_oracle_with_dbz_spark.streaming.stateful import (
+        _assemble,
+        _assemble_fn,
+    )
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+        removed = False
+        timeout_set = None
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _assemble_fn(30_000)
+    pdf = pd.DataFrame({"_scn": [1.0, 2.0], "op": ["c", "u"]})
+
+    # active touch: same output as the legacy form, and the idle clock arms
+    st = _State()
+    (out,) = fn(("tx1",), [pdf], st)
+    st_legacy = _State()
+    (out_legacy,) = _assemble(("tx1",), [pdf], st_legacy)
+    assert out.equals(out_legacy)
+    assert st.timeout_set == 30_000
+    assert st_legacy.timeout_set is None  # legacy never arms a timeout
+
+    # a second touch re-arms the clock (eviction never fires mid-txn)
+    (out2,) = fn(("tx1",), [pdf], st)
+    assert out2["n_events"].iloc[0] == 4
+    assert st.timeout_set == 30_000
+
+    # timeout callback: state removed, nothing emitted
+    st.hasTimedOut = True
+    assert list(fn(("tx1",), [], st)) == []
+    assert st.removed

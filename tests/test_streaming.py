@@ -1194,3 +1194,44 @@ def test_spool_identity_end_to_end_wiped_checkpoint(spark, tmp_path):
     # the published table converges once the owner flushes
     assert t_same.flush_spool() is True
     assert _final_ids(t_same) == _GOLDEN
+
+
+def test_stateful_txn_assembly_idle_timeout_form_runs_live(spark, tmp_path):
+    """The idle-timeout variant (ProcessingTimeTimeout + eviction,
+    r19 review pass) must drive a real stream: with a timeout far above
+    the run's wall time no eviction fires, so its outputs match the
+    legacy keep-everything form row-for-row. (Eviction itself is
+    unit-tested against the state protocol in test_sources.py —
+    wall-clock eviction in a live query is inherently timing-flaky.)"""
+    from olr_cdc_oracle_with_dbz_spark.streaming.stateful import (
+        assemble_transactions,
+    )
+
+    src = str(tmp_path / "txn_in")
+    _write_events(src, json_lines(), "all.jsonl")
+
+    def run(variant_kw: dict, tag: str) -> list:
+        out = str(tmp_path / f"out_{tag}")
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out)
+        q = (
+            assemble_transactions(read_cdc_stream(spark, src), **variant_kw)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (
+                (r["txid"], r["n_events"], r["scn_lo"], r["scn_hi"],
+                 r["n_ins"], r["n_upd"], r["n_del"])
+                for r in spark.read.parquet(out).collect()
+            ),
+            key=str,  # txid can be NULL (fixture rows without txId)
+        )
+
+    legacy = run({}, "legacy")
+    evicting = run({"idle_timeout_ms": 3_600_000}, "timeout")
+    assert evicting == legacy and len(legacy) > 0
