@@ -133,7 +133,14 @@ def run_pipeline(
 
         def fn(batch, batch_id: int) -> None:
             good, bad = quarantine_malformed(batch, schema=envelope_ddl)
-            bad.write.mode("append").parquet(qdir)
+            # per-batch overwrite, keyed by the batch id (r19 review pass):
+            # a foreachBatch REPLAY after a crash between this write and
+            # the checkpoint commit re-lands the same dead letters in the
+            # same partition dir instead of appending duplicates — the
+            # same idempotent-per-batch discipline as the spool. Readers
+            # `spark.read.parquet(qdir)` as before; partition discovery
+            # surfaces the batch id as a column.
+            bad.write.mode("overwrite").parquet(f"{qdir}/batch={batch_id}")
             good = good.filter(
                 (F.col("_schema") == schema_name) & (F.col("_table") == table_name)
             )
