@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges
+from olr_cdc_oracle_with_dbz_spark.catalog import key_bounds
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -76,10 +77,14 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     net_pudf = pandas_udf(_net_price_series, "double")
     li = Catalog(spark, sf_dir).lineitem
     # range-partition BEFORE the pandas UDF: the sampled range sort placed
-    # after it re-runs the whole Arrow round-trip (presort_ranges)
+    # after it re-runs the whole Arrow round-trip. Static bounds (parquet
+    # footer min/max of the leading key) replace the boundary-sampling job
+    # the sampled presort_ranges scheduled every execution; bucket b lands
+    # in partition b, so sortWithinPartitions below still yields the same
+    # total order (ties on l_orderkey stay inside one bucket).
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-        .transform(presort_ranges, "l_orderkey", "l_linenumber")
+        .transform(presort_static, key_bounds(sf_dir, "lineitem"), "l_orderkey")
         .select(
             "l_orderkey",
             "l_linenumber",

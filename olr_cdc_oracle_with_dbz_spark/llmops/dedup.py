@@ -636,8 +636,13 @@ def l2e_dup_clusters(
     n_edges = raw.count()
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     if n_edges <= local_max_edges:
-        # phase 2 directly: the whole graph fits one task's worth of memory
-        edge_rows = raw.collect()  # bounded by local_max_edges by the branch
+        # phase 2 directly: the whole graph fits one task's worth of memory.
+        # toPandas rides the Arrow path (bounded by local_max_edges by the
+        # branch) — the row-based collect() pickled every edge row through
+        # py4j (guide §6: Arrow for driver transfers).
+        import pandas as pd
+
+        epdf = raw.toPandas()
         raw.unpersist(blocking=False)
         parent: dict[int, int] = {}
 
@@ -649,15 +654,21 @@ def l2e_dup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edge_rows:
-            s, d = row["s"], row["d"]
+        for s, d in zip(epdf["s"].to_numpy(), epdf["d"].to_numpy()):
+            s, d = int(s), int(d)
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
             if rs != rd:
                 parent[max(rs, rd)] = min(rs, rd)  # min-id root ⇒ min label
-        label_rows = [(x, find(x)) for x in parent]
-        labels = spark.createDataFrame(label_rows, "doc_id long, lab long")
+        # Arrow-backed local relation: createDataFrame from a list plans a
+        # pickled Python-RDD scan that re-deserializes on EVERY execution;
+        # the pandas+Arrow form embeds a LocalTableScan in the plan once.
+        lpdf = pd.DataFrame(
+            {"doc_id": list(parent), "lab": [find(x) for x in parent]},
+            dtype="int64",
+        )
+        labels = spark.createDataFrame(lpdf, "doc_id long, lab long")
         connected = labels.select("doc_id")
     else:
         labels, connected = _propagate_min_labels(raw, n_edges, edges_per_task)
