@@ -265,9 +265,19 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cross-table dedup, so the dropDuplicates exchange carries 24-byte
     # (ids, cosine) rows instead of both 64-dim vectors — a duplicate
     # collision re-folds one dot product instead of shuffling a kilobyte.
+    #
+    # Join-side assignment is explicit (guide §3.1): left to the planner,
+    # the CORPUS bucket table broadcast (12 vector copies inside a hashed
+    # relation) and the per-candidate cosine folds ran on the query scan's
+    # 1-2 tasks. Broadcasting the bounded QUERY side instead — the only
+    # side that stays broadcastable at 100 TB — keeps the corpus streamed,
+    # and the hash repartition on the join key spreads the fold-heavy join
+    # stage across the pool (the corpus arrives as one MB-scale scan split
+    # locally; on a cluster this exchange is the rerank's parallelism dial).
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     cand = (
-        q.join(c, ["tbl", "bucket"])
+        c.repartition(spark.sparkContext.defaultParallelism, "tbl", "bucket")
+        .join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
