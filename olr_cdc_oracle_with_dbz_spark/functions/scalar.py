@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import presort_ranges, presort_static, ordered, ordered_static
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, presort_ranges, presort_static, ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -120,14 +120,14 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(price, 1).alias("r1"),
+        fround(price, 1).alias("r1"),
         F.floor(price).alias("flr"),
         F.ceil(price).alias("cl"),
         F.abs(F.col("l_discount") - 0.05).alias("ad"),
-        F.round(F.sqrt(price), 6).alias("sq"),
-        F.round(F.log(price), 6).alias("lg"),
-        F.round(F.exp("l_discount"), 6).alias("ex"),
-        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+        fround(F.sqrt(price), 6).alias("sq"),
+        fround(F.log(price), 6).alias("lg"),
+        fround(F.exp("l_discount"), 6).alias("ex"),
+        fround(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
         (F.col("l_orderkey") % 7).alias("m7"),
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("sg"),
     ).transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")

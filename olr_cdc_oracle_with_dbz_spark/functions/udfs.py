@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf, udf
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
 from olr_cdc_oracle_with_dbz_spark.catalog import key_bounds
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_static
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered, presort_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -88,7 +88,7 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
+            fround(net_pudf("l_extendedprice", "l_discount"), 6).alias("net"),
         )
         .sortWithinPartitions("l_orderkey", "l_linenumber")
     )

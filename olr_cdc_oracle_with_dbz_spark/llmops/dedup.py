@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.functions.generators import explode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, presort_ranges, presort_static, ordered_static
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered, presort_ranges, presort_static, ordered_static
 
 
 def _hash60(col):
@@ -152,7 +152,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side is wrong at corpus scale anyway).
     a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b").hint("shuffle_hash")
-    est = F.round(
+    est = fround(
         F.size(
             F.filter(
                 F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
@@ -334,7 +334,7 @@ def _jaccard_pairs(
     sz_b = F.col("_szs").bitwiseAND(F.lit(0xFFFFFFFF))
     jac = F.col("n_common").cast("double") / (sz_a + sz_b - F.col("n_common"))
     return inter.filter(jac >= 0.2).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
     )
 
 

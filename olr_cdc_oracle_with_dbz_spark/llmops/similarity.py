@@ -29,7 +29,7 @@ from olr_cdc_oracle_with_dbz_spark.functions.generators import (
     posexplode_once,
 )
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered
 
 _TOP_K = 5
 _N_QUERIES = 100  # vec_id < 100 are the query vectors
@@ -274,7 +274,7 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the hash repartition on the join key spreads the fold-heavy join
     # stage across the pool (the corpus arrives as one MB-scale scan split
     # locally; on a cluster this exchange is the rerank's parallelism dial).
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    cos = fround(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     cand = (
         c.repartition(spark.sparkContext.defaultParallelism, "tbl", "bucket")
         .join(F.broadcast(q), ["tbl", "bucket"])

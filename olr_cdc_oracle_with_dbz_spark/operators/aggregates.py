@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+    fround,
+    iround,
     DEC,
     _micros,
     avg6,
@@ -315,7 +317,7 @@ def q26_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sq") > 150 * 1_000_000)
         .select(
             "l_orderkey",
-            F.round(F.col("_sq").cast("double") / 1_000_000, 6).alias("sum_qty"),
+            fround(F.col("_sq").cast("double") / 1_000_000, 6).alias("sum_qty"),
         )
     )
     p = sized_partitions(row_count(sf_dir, "lineitem") // 7, 400_000, lo=8)
@@ -371,8 +373,8 @@ def q27_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical.py rule 7; BASELINE.md sf-trend note 3).
     """
     li = Catalog(spark, sf_dir).lineitem
-    xc = F.round(F.col("l_extendedprice") * 100).cast("long")  # cents, exact
-    yl = F.round(F.col("l_quantity")).cast("long")
+    xc = iround(F.col("l_extendedprice") * 100)  # cents, exact
+    yl = iround(F.col("l_quantity"))
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xc).alias("sx"),

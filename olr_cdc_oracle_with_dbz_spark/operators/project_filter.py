@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered, ordered_static
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered, ordered_static
 from olr_cdc_oracle_with_dbz_spark.registry import register
 
 
@@ -33,8 +33,8 @@ def q05_arith_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(net, 6).alias("net_price"),
-        F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
+        fround(net, 6).alias("net_price"),
+        fround(net * (1 + F.col("l_tax")), 6).alias("charged"),
     ).transform(ordered_static, key_bounds(sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
 
 

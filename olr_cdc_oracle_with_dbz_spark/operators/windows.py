@@ -14,6 +14,8 @@ from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog, key_bounds, row_count
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import (
+    fround,
+    iround,
     DEC,
     _micros,
     ordered,
@@ -131,7 +133,7 @@ def q33_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .rangeBetween(-10, Window.currentRow)
     )
-    rend = lambda c: F.round(c.cast("double") / 1_000_000, 6)  # noqa: E731
+    rend = lambda c: fround(c.cast("double") / 1_000_000, 6)  # noqa: E731
     # static-bucket-before-window: see q31_ranking (r7 measured the
     # post-window range sampler re-running both windows, 2.95 s -> 1.07 s
     # at sf3; r8 replaces the remaining sampling job with static bounds).
