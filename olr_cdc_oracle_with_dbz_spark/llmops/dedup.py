@@ -20,6 +20,9 @@ queries.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -63,18 +66,68 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: MinHash configuration: 16 permutations, 4 bands × 4 rows.
 _N_PERM, _N_BANDS = 16, 4
 
+# XXH64 primes (public algorithm, Yann Collet; the constants Spark's
+# catalyst XXH64 uses). The permutation re-hash below reimplements Spark's
+# xxhash64(lit(p), h) — hashInt(p, seed=42) feeding hashLong(h, ·) — in
+# vectorized numpy uint64 arithmetic, pinned BIT-IDENTICAL to the JVM
+# expression in tests/test_llmops.py::test_minhash_numpy_xxh64_matches_jvm.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_int_seed(i: int, seed: int = 42) -> int:
+    """Spark XXH64.hashInt(i, seed) in pure Python ints — the per-
+    permutation seed ``xxhash64(lit(p), …)`` folds into hashLong."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    h = (seed + _XXH_P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _M64
+    h = (rotl(h, 23) * _XXH_P2 + _XXH_P3) & _M64
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long_vec(vals_u64, seed: int):
+    """Spark XXH64.hashLong over a numpy uint64 array (wrapping mod 2⁶⁴)."""
+    import numpy as np
+
+    u = np.uint64
+    h = vals_u64 * u(_XXH_P2)
+    h = ((h << u(31)) | (h >> u(33))) * u(_XXH_P1)
+    h ^= u((seed + _XXH_P5 + 8) & _M64)
+    h = ((h << u(27)) | (h >> u(37))) * u(_XXH_P1) + u(_XXH_P4)
+    h ^= h >> u(33)
+    h *= u(_XXH_P2)
+    h ^= h >> u(29)
+    h *= u(_XXH_P3)
+    h ^= h >> u(32)
+    return h
+
 
 def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     """doc_id → array<long> of n_perm minhashes over word 3-gram shingles.
 
     ZERO-shuffle implementation: the shingle set lives as an in-row array
-    (array_distinct of the trigram transform) and each permutation's
-    minimum is ``array_min`` over a seeded re-hash of that array — a pure
-    per-row expression chain, so signatures cost one scan, no explode, no
-    groupBy. xxhash64 (JVM, codegen'd) everywhere — this is the APPROX
-    path (no cross-engine oracle), so the portable-but-slow md5-based
-    _hash60 is not required; seeding by permutation index makes the n_perm
-    hash families independent.
+    (array_distinct of the trigram transform — JVM xxhash64 over the
+    variable-length shingle strings), and the n_perm per-permutation
+    minima are ONE vectorized Arrow kernel over the shingle-hash arrays.
+    The old form evaluated n_perm interpreted ``array_min(transform(sh,
+    xxhash64(lit(p), h)))`` chains — 16 re-hashes of every shingle through
+    non-codegen HOF lambdas; the kernel computes the identical XXH64
+    values (bit-exact reimplementation, test-pinned) as 16 flat uint64
+    passes + segmented minima. Values are IDENTICAL; only the executor
+    arithmetic moved. Still one scan, no explode, no groupBy; seeding by
+    permutation index keeps the n_perm hash families independent.
     """
     # docs with <3 tokens have no trigram shingle — excluded here exactly as
     # the exact path (_jaccard_pairs) and the DuckDB oracle exclude them
@@ -99,17 +152,30 @@ def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
             )
         ).alias("sh"),
     )
-    return sharr.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform("sh", lambda h: F.xxhash64(F.lit(p), h))).alias(
-                    f"mh{p}"
-                )
-                for p in range(n_perm)
-            ]
-        ).alias("sig"),
-    )
+    seeds = [_xxh64_int_seed(p) for p in range(n_perm)]
+
+    @F.pandas_udf("array<long>")
+    def sig_of(sh: pd.Series) -> pd.Series:
+        if not len(sh):
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(v) for v in sh), dtype=np.int64, count=len(sh))
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in sh])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.zeros(len(sh), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        u = flat.view(np.uint64)
+        mins = np.empty((len(sh), n_perm), dtype=np.int64)
+        for p, sd in enumerate(seeds):
+            hv = _xxh64_long_vec(u, sd).view(np.int64)
+            # every row has ≥1 shingle (the ≥3-token filter), so reduceat
+            # segments are non-empty
+            mins[:, p] = np.minimum.reduceat(hv, starts)
+        return pd.Series(list(mins))
+
+    return sharr.select("doc_id", sig_of("sh").alias("sig"))
 
 
 @register("l2_minhash_lsh", oracle=None, approx=True, tags=("llm", "dedup"))

@@ -30,6 +30,31 @@ def test_minhash_recalls_planted_duplicates(spark):
     assert hits == len([i for i in rows if i < 10000])  # identical text → identical sig
 
 
+def test_minhash_numpy_xxh64_matches_jvm(spark):
+    """The vectorized permutation re-hash must be BIT-IDENTICAL to the JVM
+    expression it replaced: xxhash64(lit(p), h) == hashLong(h,
+    hashInt(p, 42)) for every permutation index — the r19 kernel swap is
+    an arithmetic relocation, not a semantic change."""
+    import numpy as np
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import (
+        _N_PERM,
+        _xxh64_int_seed,
+        _xxh64_long_vec,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(-(2**63), 2**63, size=500, dtype=np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "h long")
+    for p in range(0, _N_PERM, 5):
+        jvm = np.array(
+            [r[0] for r in df.select(F.xxhash64(F.lit(p), F.col("h"))).collect()],
+            dtype=np.int64,
+        )
+        mine = _xxh64_long_vec(vals.view(np.uint64), _xxh64_int_seed(p)).view(np.int64)
+        assert (jvm == mine).all(), f"permutation {p} diverged from JVM xxhash64"
+
+
 def test_lsh_candidates_include_planted_duplicates(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
     dups = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars")
