@@ -143,7 +143,7 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     local = (
         emb.select("vec_id", "embedding")
-        .repartition(16)
+        .repartition(_gemm_width(spark, sf_dir))
         .mapInPandas(exact_topk, "query_id bigint, neighbor_id bigint, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -152,6 +152,22 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .transform(ordered, "query_id", "rnk")
     )
+
+
+def _gemm_width(spark: SparkSession, sf_dir: str) -> int:
+    """Partition width for the corpus-parallel GEMM kernels (l3/l4b):
+    ~500 corpus rows per task, capped at the pool. mapInPandas streams
+    Arrow batches, so per-task memory is bounded by the batch size
+    regardless of partition size — the only job of this exchange is
+    parallelism, so width tracks the DATA up to the pool instead of the
+    old fixed 16 (which at bench scale paid 4x the Python dispatches per
+    kernel row: each near-empty partition re-runs the per-query top-k
+    loop; interleaved medians 0.41 s at 16 → 0.35 s at 4)."""
+    from olr_cdc_oracle_with_dbz_spark.catalog import row_count
+
+    n = row_count(sf_dir, "embeddings") or 0
+    pool = spark.sparkContext.defaultParallelism
+    return max(4, min(pool, -(-n // 500))) if n else pool
 
 
 _N_TABLES, _BITS_PER_TABLE = 12, 8
@@ -537,7 +553,7 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     local = (
         emb.select("vec_id", "embedding")
-        .repartition(16)
+        .repartition(_gemm_width(spark, sf_dir))
         .mapInPandas(local_topk, "query_id bigint, neighbor_id bigint, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
