@@ -35,6 +35,31 @@ _TOP_K = 5
 _N_QUERIES = 100  # vec_id < 100 are the query vectors
 
 
+def _query_matrix(sf_dir: str):
+    """The bounded query side (vec_id < _N_QUERIES) as numpy arrays, read
+    driver-side via pyarrow with a row-group predicate — the same
+    footer-path discipline as catalog.row_count. The old form ran a Spark
+    toPandas() JOB inside query construction, which both paid a scheduled
+    job per repeated query and (by scheduling it) disqualified l3/l4b from
+    the bench's prepared-plan reuse that every other pure-plan query gets.
+    O(_N_QUERIES) rows cross the driver either way; at scale the predicate
+    prunes to the row groups whose vec_id stats overlap [0, _N_QUERIES)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _N_QUERIES)],
+    )
+    q_ids = tbl.column("vec_id").to_numpy()
+    q_mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    order = np.argsort(q_ids)  # deterministic orientation, independent of row-group order
+    return q_ids[order].astype(np.int64), q_mat[order]
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -105,13 +130,7 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, or shuffled; the merge input is |queries|·k per batch.
     """
     emb = Catalog(spark, sf_dir).embeddings
-    qpdf = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()  # bounded O(_N_QUERIES), the legitimate small side
-    )
-    q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
-    q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
+    q_ids, q_mat = _query_matrix(sf_dir)  # bounded small side, zero Spark jobs
     q_nrm = np.sqrt(_fold_dot_rows(q_mat, q_mat))  # exact fold norms
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
     k, margin = _TOP_K, _L3_GEMM_MARGIN
@@ -523,13 +542,7 @@ def l4b_bruteforce_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is |queries|·k per partition.
     """
     emb = Catalog(spark, sf_dir).embeddings
-    qpdf = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()  # bounded O(_N_QUERIES), the legitimate small side
-    )
-    q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
-    q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
+    q_ids, q_mat = _query_matrix(sf_dir)  # bounded small side, zero Spark jobs
     q_nrm = np.linalg.norm(q_mat, axis=1)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
 
