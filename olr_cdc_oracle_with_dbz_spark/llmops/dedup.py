@@ -97,21 +97,36 @@ def _xxh64_int_seed(i: int, seed: int = 42) -> int:
     return h
 
 
-def _xxh64_long_vec(vals_u64, seed: int):
-    """Spark XXH64.hashLong over a numpy uint64 array (wrapping mod 2⁶⁴)."""
-    import numpy as np
+def _make_xxh64_long_vec():
+    """Factory so the kernel function pickles BY VALUE: a module-level
+    function referenced from a pandas UDF is cloudpickled by import path,
+    which makes the Python workers depend on this package being importable
+    (breaks any driver not launched from the repo root). The factory-local
+    qualname forces cloudpickle's by-value fallback — the UDF ships its
+    own copy, like every other worker-side kernel in this repo."""
 
-    u = np.uint64
-    h = vals_u64 * u(_XXH_P2)
-    h = ((h << u(31)) | (h >> u(33))) * u(_XXH_P1)
-    h ^= u((seed + _XXH_P5 + 8) & _M64)
-    h = ((h << u(27)) | (h >> u(37))) * u(_XXH_P1) + u(_XXH_P4)
-    h ^= h >> u(33)
-    h *= u(_XXH_P2)
-    h ^= h >> u(29)
-    h *= u(_XXH_P3)
-    h ^= h >> u(32)
-    return h
+    def xxh64_long_vec(vals_u64, seed: int):
+        """Spark XXH64.hashLong over a numpy uint64 array (mod 2⁶⁴)."""
+        import numpy as np
+
+        u = np.uint64
+        h = vals_u64 * u(0xC2B2AE3D27D4EB4F)  # PRIME64_2
+        h = ((h << u(31)) | (h >> u(33))) * u(0x9E3779B185EBCA87)  # PRIME64_1
+        h ^= u((seed + 0x27D4EB2F165667C5 + 8) & ((1 << 64) - 1))  # seed+P5+len
+        h = ((h << u(27)) | (h >> u(37))) * u(0x9E3779B185EBCA87) + u(
+            0x85EBCA77C2B2AE63
+        )  # PRIME64_4
+        h ^= h >> u(33)
+        h *= u(0xC2B2AE3D27D4EB4F)
+        h ^= h >> u(29)
+        h *= u(0x165667B19E3779F9)  # PRIME64_3
+        h ^= h >> u(32)
+        return h
+
+    return xxh64_long_vec
+
+
+_xxh64_long_vec = _make_xxh64_long_vec()
 
 
 def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:

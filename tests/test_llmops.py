@@ -43,6 +43,12 @@ def test_minhash_numpy_xxh64_matches_jvm(spark):
         _xxh64_long_vec,
     )
 
+    # the kernel must cloudpickle BY VALUE (factory-local qualname), so the
+    # Python workers never need this package on their import path — a
+    # module-level qualname here regressed l2 for any driver not launched
+    # from the repo root (caught at the sf1 sweep, r19)
+    assert "<locals>" in _xxh64_long_vec.__qualname__
+
     rng = np.random.default_rng(42)
     vals = rng.integers(-(2**63), 2**63, size=500, dtype=np.int64)
     df = spark.createDataFrame([(int(v),) for v in vals], "h long")
