@@ -53,6 +53,15 @@ def _query_matrix(sf_dir: str):
         filters=[("vec_id", "<", _N_QUERIES)],
     )
     q_ids = tbl.column("vec_id").to_numpy()
+    # guard the filter semantics (ADVICE r19): on legacy-dataset pyarrow
+    # versions read_table filters only prune row GROUPS — rows with
+    # vec_id >= _N_QUERIES would silently corrupt the query matrix. Fail
+    # loudly instead of producing wrong neighbors.
+    if len(q_ids) and int(q_ids.max()) >= _N_QUERIES:
+        raise AssertionError(
+            "pyarrow filters returned vec_id >= query bound — row-level "
+            "filtering not applied by this pyarrow version"
+        )
     q_mat = np.vstack(
         [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
     )

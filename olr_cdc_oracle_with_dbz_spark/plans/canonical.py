@@ -106,17 +106,30 @@ def fround(col: Column | str, scale: int = 6) -> Column:
     PER VALUE (the :func:`_micros` finding — the single largest constant in
     lineitem-scan aggregates); for a per-row OUTPUT round that allocation
     churn lands on every result row. This form is the :func:`_micros`
-    half-away-from-zero integer round followed by one long→double division:
-    for ``|x|·10^scale < 2⁵²`` the integer round is exactly BigDecimal
-    HALF_UP on the shortest repr (the _micros boundary argument, verified
-    hash-identical across the full suite at sf0.01/0.1/1 in r10), and both
-    the division ``m / 10^scale`` and BigDecimal's ``.toDouble`` are
-    correctly-rounded conversions of the same rational — so the result is
-    bit-identical to ``F.round``. Outside that range (huge, NaN, null,
-    ±Inf) the expression falls back to the real ``F.round`` per row, so
-    semantics are IDENTICAL everywhere; the fast path is just allocation-
-    free. Swaps verified value-identical old-vs-new on the actual data
-    per adopting query (r19).
+    half-away-from-zero integer round followed by one long→double division,
+    with the real ``F.round`` as the per-row fallback wherever the fast
+    path is not PROVABLY identical, so semantics are identical everywhere.
+
+    Why the fallback band exists (r19 verdict): ``F.round`` operates on
+    ``BigDecimal.valueOf(x)`` — the SHORTEST-DECIMAL repr of x — and shifts
+    its decimal point exactly, while the fast path rounds the binary
+    product ``fl(x·10^s)``. The two rationals differ by at most a couple
+    of ulps (|dec(x)−x| ≤ ½ulp(x) and the product rounding ≤ ½ulp), so
+    HALF_UP on one and half-away on the other can disagree ONLY when the
+    product lies within that error of a ``k+0.5`` boundary (e.g. x=2.675,
+    scale 2: shortest repr "2.675" HALF_UPs to 2.68, the binary product
+    267.4999…97 floors to 2.67). The guard routes every value whose
+    fractional part is within ``max(|y|,1)·2⁻⁴⁸`` of 0.5 — ≥16 ulps, a
+    strict superset of the divergence band — to the real ``F.round``;
+    everywhere else no boundary can sit between the two rationals, both
+    roundings agree, and the final division ``m / 10^s`` is the same
+    correctly-rounded conversion as BigDecimal's ``.toDouble``. Outside
+    ``|x|·10^s < 2⁵²`` (huge, NaN, null, ±Inf) the fallback also applies,
+    as before. Bit-identity vs ``F.round`` is property-tested on
+    adversarial shortest-repr midpoints (tests/test_property.py) and the
+    swaps were verified value-identical on the actual data per adopting
+    query (r19); the boundary band never fires on the generated
+    cents/micros data, so plans pay only a comparison, not the fallback.
     """
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**scale)
@@ -125,7 +138,12 @@ def fround(col: Column | str, scale: int = 6) -> Column:
     m = F.floor(a)  # LongType; exact for a < 2⁵²
     mag = m + (a - m >= 0.5).cast("long")
     fast = F.when(y < 0, -mag).otherwise(mag).cast("double") / p
-    return F.when(a < F.lit(float(2**52)), fast).otherwise(F.round(c, scale))
+    # a - m is exact for a < 2⁵² (both representable, result < 1), so the
+    # band test itself is exact arithmetic on the computed product
+    near_half = F.abs(a - m - 0.5) < F.greatest(a, F.lit(1.0)) * F.lit(2.0**-48)
+    return F.when((a < F.lit(float(2**52))) & ~near_half, fast).otherwise(
+        F.round(c, scale)
+    )
 
 
 def iround(col: Column | str) -> Column:
