@@ -129,68 +129,227 @@ def _make_xxh64_long_vec():
 _xxh64_long_vec = _make_xxh64_long_vec()
 
 
+def _make_xxh64_bytes_vec():
+    """Factory (pickle BY VALUE — see :func:`_make_xxh64_long_vec`) for
+    vectorized XXH64 over variable-length byte slices: Spark's
+    ``xxhash64(string)`` (seed 42) reimplemented in numpy uint64, pinned
+    bit-identical to the JVM in tests/test_llmops.py. Slices are grouped
+    by byte length and each length group is hashed as an (n, L) uint8
+    matrix — vectorized across rows, sequential only over L's fixed
+    8/4/1-byte chunk structure (and 32-byte stripes for L ≥ 32)."""
+
+    def xxh64_bytes_slices(data, starts, lens, seed=42):
+        """XXH64 of ``data[starts[i] : starts[i]+lens[i]]`` per row
+        (uint64 out). ``data`` is a flat uint8 buffer."""
+        import numpy as np
+
+        U = np.uint64
+        P1, P2 = U(0x9E3779B185EBCA87), U(0xC2B2AE3D27D4EB4F)
+        P3, P4 = U(0x165667B19E3779F9), U(0x85EBCA77C2B2AE63)
+        P5 = U(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            r = U(r)
+            return (x << r) | (x >> (U(64) - r))
+
+        def fixed(mat, sd):
+            n, L = mat.shape
+
+            def read64(o):
+                return np.ascontiguousarray(mat[:, o : o + 8]).view("<u8").ravel()
+
+            def read32(o):
+                return (
+                    np.ascontiguousarray(mat[:, o : o + 4])
+                    .view("<u4")
+                    .ravel()
+                    .astype(U)
+                )
+
+            if L >= 32:
+                v1 = np.full(n, sd + P1 + P2, U)
+                v2 = np.full(n, sd + P2, U)
+                v3 = np.full(n, sd, U)
+                v4 = np.full(n, sd - P1, U)
+                o = 0
+                while o + 32 <= L:
+                    v1 = rotl(v1 + read64(o) * P2, 31) * P1
+                    v2 = rotl(v2 + read64(o + 8) * P2, 31) * P1
+                    v3 = rotl(v3 + read64(o + 16) * P2, 31) * P1
+                    v4 = rotl(v4 + read64(o + 24) * P2, 31) * P1
+                    o += 32
+                h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+                for v in (v1, v2, v3, v4):
+                    h = (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+            else:
+                h = np.full(n, sd + P5, U)
+                o = 0
+            h = h + U(L)
+            while o + 8 <= L:
+                h = rotl(h ^ (rotl(read64(o) * P2, 31) * P1), 27) * P1 + P4
+                o += 8
+            if o + 4 <= L:
+                h = rotl(h ^ (read32(o) * P1), 23) * P2 + P3
+                o += 4
+            while o < L:
+                h = rotl(h ^ (mat[:, o].astype(U) * P5), 11) * P1
+                o += 1
+            h ^= h >> U(33)
+            h *= P2
+            h ^= h >> U(29)
+            h *= P3
+            h ^= h >> U(32)
+            return h
+
+        out = np.empty(len(starts), dtype=U)
+        with np.errstate(over="ignore"):
+            sd = U(seed & ((1 << 64) - 1))
+            for L in np.unique(lens):
+                sel = np.nonzero(lens == L)[0]
+                if L == 0:
+                    out[sel] = fixed(np.empty((len(sel), 0), np.uint8), sd)
+                    continue
+                mat = data[starts[sel][:, None] + np.arange(int(L))[None, :]]
+                out[sel] = fixed(mat, sd)
+        return out
+
+    return xxh64_bytes_slices
+
+
+_xxh64_bytes_slices = _make_xxh64_bytes_vec()
+
+
+def _make_trigram_text_engine():
+    """Factory (pickle BY VALUE) for the shared trigram-shingle extractor.
+
+    Consumes a PRE-LOWERED Arrow string array as raw buffers (int32/int64
+    offsets + one contiguous UTF-8 data buffer) and returns, per shingle,
+    its doc index and XXH64 hash plus the per-doc shingle counts. The key
+    identity: with ``t = split(text, " ")`` (literal single-space split,
+    limit -1), the trigram ``concat_ws(" ", t[i], t[i+1], t[i+2])`` is
+    EXACTLY the contiguous byte slice of ``text`` from the start of token
+    i to the end of token i+2 — split on " " reconstructs the text, and
+    concat_ws joins empty tokens with the same separators. So shingle
+    hashing needs no string materialization at all: token boundaries are
+    the 0x20 byte positions (UTF-8 multibyte sequences never contain
+    0x20), and each slice hashes through the vectorized XXH64 — values
+    bit-identical to the JVM ``xxhash64(concat_ws(...))`` chain this
+    replaces (guide §4.2: re-slice the Arrow buffer, don't copy rows).
+    Docs with <3 tokens (or NULL text) emit zero shingles, matching the
+    ``size(split(...)) >= 3`` filter of the old chain and the oracle."""
+
+    def shingles_of(text_arr):
+        """→ (sh_doc, hashes_i64, m): shingle→doc index (doc-ordered),
+        shingle XXH64 as int64, per-doc shingle counts."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = len(text_arr)
+        off_dt = np.int64 if pa.types.is_large_string(text_arr.type) else np.int32
+        bufs = text_arr.buffers()
+        offs = np.frombuffer(bufs[1], off_dt, count=text_arr.offset + n + 1)[
+            text_arr.offset :
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8)
+        if text_arr.null_count:
+            valid = ~np.asarray(text_arr.is_null())
+        else:
+            valid = np.ones(n, dtype=bool)
+        doc_start, doc_end = offs[:-1], offs[1:]
+        sp = (
+            np.nonzero(data[offs[0] : offs[-1]] == 32)[0] + offs[0]
+            if offs[-1] > offs[0]
+            else np.empty(0, np.int64)
+        )
+        first_sp = np.searchsorted(sp, doc_start)
+        n_sp = np.searchsorted(sp, doc_end) - first_sp
+        # tokens = spaces + 1; shingles = tokens - 2 where tokens ≥ 3
+        m = np.where(valid & (n_sp >= 2), n_sp - 1, 0).astype(np.int64)
+        total = int(m.sum())
+        if not total:
+            return np.empty(0, np.int64), np.empty(0, np.int64), m
+        # per-doc token-start table T: [doc_start, spaces+1..., doc_end+1]
+        seg_len = n_sp + 2
+        seg_off = np.zeros(n + 1, np.int64)
+        np.cumsum(seg_len, out=seg_off[1:])
+        T = np.empty(seg_off[-1], np.int64)
+        T[seg_off[:-1]] = doc_start
+        T[seg_off[1:] - 1] = doc_end + 1
+        sp_doc = np.searchsorted(doc_end, sp, side="right")
+        T[seg_off[sp_doc] + 1 + (np.arange(len(sp)) - first_sp[sp_doc])] = sp + 1
+        elig = np.nonzero(m)[0]
+        sh_doc = np.repeat(elig, m[elig])
+        csum = np.zeros(len(elig), np.int64)
+        np.cumsum(m[elig][:-1], out=csum[1:])
+        sh_local = np.arange(total, dtype=np.int64) - np.repeat(csum, m[elig])
+        base = seg_off[sh_doc] + sh_local
+        starts = T[base]
+        lens = T[base + 3] - 1 - starts  # end = next-next-next token start − 1
+        hashes = _xxh64_bytes_slices(data, starts, lens, 42).view(np.int64)
+        return sh_doc, hashes, m
+
+    return shingles_of
+
+
+_trigram_shingles = _make_trigram_text_engine()
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     """doc_id → array<long> of n_perm minhashes over word 3-gram shingles.
 
-    ZERO-shuffle implementation: the shingle set lives as an in-row array
-    (array_distinct of the trigram transform — JVM xxhash64 over the
-    variable-length shingle strings), and the n_perm per-permutation
-    minima are ONE vectorized Arrow kernel over the shingle-hash arrays.
-    The old form evaluated n_perm interpreted ``array_min(transform(sh,
-    xxhash64(lit(p), h)))`` chains — 16 re-hashes of every shingle through
-    non-codegen HOF lambdas; the kernel computes the identical XXH64
-    values (bit-exact reimplementation, test-pinned) as 16 flat uint64
-    passes + segmented minima. Values are IDENTICAL; only the executor
-    arithmetic moved. Still one scan, no explode, no groupBy; seeding by
-    permutation index keeps the n_perm hash families independent.
+    ZERO-shuffle implementation: ONE fused ``mapInArrow`` kernel computes
+    everything from the pre-lowered text bytes — shingle boundaries as
+    0x20 positions over the Arrow string buffer, shingle XXH64 by
+    vectorized length groups (bit-identical to the JVM
+    ``xxhash64(concat_ws(" ", t[i..i+2]))`` chain it replaces — the
+    trigram is a contiguous byte slice of the text, see
+    :func:`_make_trigram_text_engine`), then the n_perm permutation
+    re-hashes as flat uint64 passes + segmented minima per doc. The r19
+    form still evaluated the shingle chain as an interpreted Catalyst HOF
+    (split + per-element concat_ws/xxhash64 outside codegen) feeding a
+    pandas UDF; moving the shingle hash into the same Arrow kernel
+    removes that per-element interpretation and ships only (doc_id,
+    lowered text) across the Python boundary. Values are IDENTICAL (the
+    permutation min is duplicate-insensitive, so the old array_distinct
+    is unnecessary work); docs with <3 tokens emit no signature, exactly
+    as the old ``size(ts) >= 3`` filter and the DuckDB oracle exclude
+    them. Still one scan, no explode, no groupBy; seeding by permutation
+    index keeps the n_perm hash families independent.
     """
-    # docs with <3 tokens have no trigram shingle — excluded here exactly as
-    # the exact path (_jaccard_pairs) and the DuckDB oracle exclude them
-    # (round-2 advice: the sequence() fallback emitted one degenerate
-    # partial shingle for such docs, an inconsistent shingle contract)
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts")).filter(
-        F.size("ts") >= 3
-    )
-    sharr = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ts") - 3, F.lit(0))),
-                lambda i: F.xxhash64(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("ts", i + 1),
-                        F.element_at("ts", i + 2),
-                        F.element_at("ts", i + 3),
-                    )
-                ),
-            )
-        ).alias("sh"),
-    )
     seeds = [_xxh64_int_seed(p) for p in range(n_perm)]
 
-    @F.pandas_udf("array<long>")
-    def sig_of(sh: pd.Series) -> pd.Series:
-        if not len(sh):
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(v) for v in sh), dtype=np.int64, count=len(sh))
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.int64) for v in sh])
-            if lens.sum()
-            else np.empty(0, dtype=np.int64)
-        )
-        starts = np.zeros(len(sh), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        u = flat.view(np.uint64)
-        mins = np.empty((len(sh), n_perm), dtype=np.int64)
-        for p, sd in enumerate(seeds):
-            hv = _xxh64_long_vec(u, sd).view(np.int64)
-            # every row has ≥1 shingle (the ≥3-token filter), so reduceat
-            # segments are non-empty
-            mins[:, p] = np.minimum.reduceat(hv, starts)
-        return pd.Series(list(mins))
+    def sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    return sharr.select("doc_id", sig_of("sh").alias("sig"))
+        for batch in batches:
+            names = batch.schema.names
+            sh_doc, h, m = _trigram_shingles(batch.column(names.index("tl")))
+            elig = np.nonzero(m)[0]
+            if not len(elig):
+                continue
+            seg = np.zeros(len(elig), np.int64)
+            np.cumsum(m[elig][:-1], out=seg[1:])
+            u = h.view(np.uint64)
+            mins = np.empty((len(elig), n_perm), dtype=np.int64)
+            for p, sd in enumerate(seeds):
+                # shingles are emitted doc-ordered, so reduceat segments
+                # are contiguous and non-empty (every eligible doc has ≥1)
+                mins[:, p] = np.minimum.reduceat(
+                    _xxh64_long_vec(u, sd).view(np.int64), seg
+                )
+            sig = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(elig) + 1, dtype=np.int32) * n_perm),
+                pa.array(mins.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id")).take(pa.array(elig)), sig],
+                ["doc_id", "sig"],
+            )
+
+    return docs.select("doc_id", F.lower("text").alias("tl")).mapInArrow(
+        sig_batches, "doc_id long, sig array<long>"
+    )
 
 
 @register("l2_minhash_lsh", oracle=None, approx=True, tags=("llm", "dedup"))
@@ -296,6 +455,121 @@ _L2B_ORACLE = f"""
     """
 
 
+#: Corpus size at which the Arrow shingle kernel overtakes the JVM
+#: expression chain (see trigram_shingle_rows): the kernel pays a fixed
+#: Python-stage hop (~0.1 s locally) and wins ~18 µs/doc after it —
+#: measured 0.35 vs 0.34 s at 5k docs (wash) and 1.50 vs 2.40 s at 50k
+#: docs (1.6×). 20k keeps the small-corpus bench on the lower-latency
+#: JVM path with margin; both paths are test-pinned row-identical.
+_TRI_KERNEL_MIN_DOCS = 20_000
+
+
+def trigram_shingle_rows(d: DataFrame, use_kernel: bool = True) -> DataFrame:
+    """(doc_id, lang, sz, shingle) rows — the shared shingle stage of
+    l2b/l2e: per-doc DISTINCT word-trigram XXH64 hashes exploded with
+    the per-doc distinct count carried alongside. Two row-identical
+    implementations, switched on measured corpus size by the caller
+    (the l2e two-phase pattern): the vectorized Arrow kernel for big
+    corpora, the JVM expression chain below ``_TRI_KERNEL_MIN_DOCS``
+    where the kernel's fixed Python-stage hop outweighs its per-doc
+    advantage."""
+    # docs with < 3 tokens produce zero shingles (cross-engine contract —
+    # see the oracle CTE comment); shingles reduced to 64-bit xxhash BEFORE
+    # the dedup/join shuffles — 8-byte keys instead of ~20-byte strings
+    # through two exchanges; the equi-join result is unchanged (collision
+    # odds ~|shingles|²/2⁶⁴).
+    if not use_kernel:
+        # small-corpus path: the r19 JVM expression chain — per-doc shingle
+        # DEDUP inside the row (array_distinct) before the explode; the
+        # coalesce() makes sz statically NON-NULLABLE so the downstream
+        # jac>=0.2 filter's inferred isnotnull(sz) constant-folds instead
+        # of inlining the whole alias chain at the scan (r9 findings).
+        toks = d.select(
+            "doc_id", "lang", F.split(F.lower("text"), " ").alias("ts")
+        ).filter(F.size("ts") >= 3)
+        sharr = toks.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ts", i + 1),
+                            F.element_at("ts", i + 2),
+                            F.element_at("ts", i + 3),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+        return explode_once(
+            sharr,
+            ["doc_id", "lang", F.coalesce(F.size("sh"), F.lit(0)).alias("sz")],
+            F.col("sh"),
+            "shingle",
+        )
+    #
+    # ONE fused mapInArrow kernel (r20) replaces the interpreted Catalyst
+    # shingle chain (split → sequence/transform with per-element
+    # concat_ws+xxhash64 → array_distinct): shingle boundaries come from
+    # the 0x20 positions over the raw Arrow text buffer, hashes from the
+    # vectorized XXH64 (bit-identical to the JVM chain — the trigram IS a
+    # contiguous byte slice of the lowered text, see
+    # _make_trigram_text_engine), per-doc DEDUP from one lexsort pass.
+    # The kernel returns PER-DOC ARRAYS and the explode stays JVM-side:
+    # emitting the exploded rows from Python re-ships doc_id/lang/sz per
+    # shingle row through the Arrow→InternalRow boundary, which measured
+    # SLOWER than the old chain at sf0.1 and only ~1.25× at sf1; the
+    # array form transfers each value once and measured 0.35 vs 0.34 s at
+    # sf0.1 (wash, floor-bound) and 1.50 vs 2.40 s at sf1 (1.6×). Plain
+    # explode is safe here: `sh` is a STORED kernel output column, so the
+    # InferFiltersFromGenerate size>0 re-evaluation trap (generators.py)
+    # re-reads a column reference, not the kernel. sz (distinct-shingle
+    # count) still rides the join — the r9 finding that carrying one long
+    # per shingle row beats two corpus-sized joins after the pair
+    # aggregation stands unchanged.
+    def tri_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            sh_doc, h, m = _trigram_shingles(batch.column(names.index("tl")))
+            elig = np.nonzero(m)[0]
+            if not len(elig):
+                continue
+            order = np.lexsort((h, sh_doc))
+            dd, hd = sh_doc[order], h[order]
+            keep = np.ones(len(hd), dtype=bool)
+            keep[1:] = (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])
+            dk, hk = dd[keep], hd[keep]
+            cnt = np.bincount(dk, minlength=len(batch))
+            offs = np.zeros(len(elig) + 1, np.int64)
+            np.cumsum(cnt[elig], out=offs[1:])
+            sh = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(hk)
+            )
+            idx = pa.array(elig)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("doc_id")).take(idx),
+                    batch.column(names.index("lang")).take(idx),
+                    pa.array(cnt[elig].astype(np.int32)),
+                    sh,
+                ],
+                ["doc_id", "lang", "sz", "sh"],
+            )
+
+    tri = (
+        d.select("doc_id", "lang", F.lower("text").alias("tl"))
+        .mapInArrow(tri_batches, "doc_id long, lang string, sz int, sh array<long>")
+        .select("doc_id", "lang", "sz", F.explode("sh").alias("shingle"))
+    )
+    return tri
+
+
 def _jaccard_pairs(
     spark: SparkSession, sf_dir: str, width: int | None = None
 ) -> DataFrame:
@@ -305,51 +579,8 @@ def _jaccard_pairs(
     the pool's defaultParallelism; see the width comment below).
     """
     d = Catalog(spark, sf_dir).documents
-    # docs with < 3 tokens produce zero shingles (cross-engine contract —
-    # see the oracle CTE comment); shingles reduced to 64-bit xxhash BEFORE
-    # the dedup/join shuffles — 8-byte keys instead of ~20-byte strings
-    # through two exchanges; the equi-join result is unchanged (collision
-    # odds ~|shingles|²/2⁶⁴).
-    toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("ts")).filter(
-        F.size("ts") >= 3
-    )
-    # per-doc shingle DEDUP happens inside the row (array_distinct) before
-    # the explode — the scan-side projection replaces the old 260k-row
-    # dropDuplicates shuffle (measured ~2× total win with the join hint).
-    sharr = toks.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - 3),
-                lambda i: F.xxhash64(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("ts", i + 1),
-                        F.element_at("ts", i + 2),
-                        F.element_at("ts", i + 3),
-                    )
-                ),
-            )
-        ).alias("sh"),
-    )
-    # the per-doc shingle-set size is a FREE in-row expression on the
-    # deduped array (size(sh)); carrying it through the inverted-index join
-    # (+8 bytes per shingle row) deletes the old sizes branch — a groupBy
-    # exchange plus TWO doc-table joins after the pair aggregation. At
-    # 100 TB those joins re-shuffle the pair set against a corpus-sized
-    # table twice; the carried column costs one long per shingle instead.
-    # coalesce() makes sz statically NON-NULLABLE: the jac>=0.2 filter
-    # otherwise infers isnotnull(sz), and predicate pushdown inlines the
-    # alias chain — the full shingle-hash expression re-evaluated at the
-    # scan just to null-check its size. With a non-nullable type the
-    # inferred predicate constant-folds away instead.
-    tri = explode_once(
-        sharr,
-        ["doc_id", "lang", F.coalesce(F.size("sh"), F.lit(0)).alias("sz")],
-        F.col("sh"),
-        "shingle",
-    )
+    n_docs = row_count(sf_dir, "documents") or 0
+    tri = trigram_shingle_rows(d, use_kernel=n_docs >= _TRI_KERNEL_MIN_DOCS)
     # SHUFFLE_HASH on the inverted-index self-join: the join key (shingle
     # hash) is high-cardinality, so sort-merge wastes two sorts and
     # broadcast is impossible at corpus scale — a shuffled hash join is
@@ -697,24 +928,14 @@ def l2e_dup_clusters(
     that materializes the round's label cache.
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # both edge directions from ONE evaluation of the pair join: union'ing
-    # pairs with its own swap plants the inverted-index self-join subtree in
-    # the plan twice (two ShuffledHashJoins, measured), and the shingle join
-    # is ~80% of l2e's cost; exploding a 2-element struct array emits (s,d)
-    # and (d,s) from a single join output row instead.
-    raw = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
-                F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
-            )
-        ).alias("e")
-    ).select("e.s", "e.d")
-    # count once (also warms the cache), then size the propagation join from
-    # the measured edge volume; hash-partition on the join key so every
-    # round's (edges ⋈ labels) reuses this layout
-    raw = raw.persist()
-    n_edges = raw.count()
+    # count once (also warms the cache), then phase-switch on the measured
+    # edge volume. The cache/count/collect operate on the UNDOUBLED pair
+    # list (r20): union-find is direction-blind, so the local phase needs
+    # each edge once — half the cached rows, half the Arrow transfer, half
+    # the union loop of the old doubled-edge form; only the distributed
+    # phase (which joins on the source endpoint) symmetrizes.
+    pairs = pairs.persist()
+    n_edges = 2 * pairs.count()
     docs = Catalog(spark, sf_dir).documents.select("doc_id")
     if n_edges <= local_max_edges:
         # phase 2 directly: the whole graph fits one task's worth of memory.
@@ -723,8 +944,8 @@ def l2e_dup_clusters(
         # py4j (guide §6: Arrow for driver transfers).
         import pandas as pd
 
-        epdf = raw.toPandas()
-        raw.unpersist(blocking=False)
+        epdf = pairs.toPandas()
+        pairs.unpersist(blocking=False)
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -735,7 +956,7 @@ def l2e_dup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for s, d in zip(epdf["s"].to_numpy(), epdf["d"].to_numpy()):
+        for s, d in zip(epdf["doc_a"].to_numpy(), epdf["doc_b"].to_numpy()):
             s, d = int(s), int(d)
             parent.setdefault(s, s)
             parent.setdefault(d, d)
@@ -752,7 +973,23 @@ def l2e_dup_clusters(
         labels = spark.createDataFrame(lpdf, "doc_id long, lab long")
         connected = labels.select("doc_id")
     else:
-        labels, connected = _propagate_min_labels(raw, n_edges, edges_per_task)
+        # both edge directions from ONE evaluation of the pair join:
+        # union'ing pairs with its own swap plants the inverted-index
+        # self-join subtree in the plan twice (two ShuffledHashJoins,
+        # measured), and the shingle join is ~80% of l2e's cost; exploding
+        # a 2-element struct array emits (s,d) and (d,s) from a single
+        # join output row instead (here the explode reads the cache).
+        raw = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                    F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d")
+        labels, connected = _propagate_min_labels(
+            raw, n_edges, edges_per_task, release=pairs
+        )
     singletons = docs.join(connected, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("lab")
     )
@@ -763,12 +1000,38 @@ def l2e_dup_clusters(
     )
 
 
-def _propagate_min_labels(raw: DataFrame, n_edges: int, edges_per_task: int):
+def _propagate_min_labels(
+    raw: DataFrame,
+    n_edges: int,
+    edges_per_task: int,
+    release: DataFrame | None = None,
+):
     """Distributed phase of :func:`l2e_dup_clusters`: min-label propagation
-    until the (monotone) label sum fixes. Returns (labels, connected)."""
+    with POINTER JUMPING until the (monotone) label sum fixes. Returns
+    (labels, connected).
+
+    Each round combines the neighbor-min step with a pointer jump
+    (``lab(lab(v))``, read from the SAME cached label table so nothing is
+    recomputed): ``lab'(v) = min(lab(v), lab(lab(v)), min_{(u,v)∈E}
+    lab(u))``. The jump halves the remaining pointer depth every round, so
+    a component of diameter d converges in O(log d) rounds instead of the
+    plain propagation's O(d) — each round is still ONE Spark job (the
+    round is two Spark jobs — the lineage-cut materialization plus the
+    convergence aggregate — so deep components cost 2·log-many job
+    schedulings where plain propagation costs 1·diameter-many
+    (tests/test_llmops.py pins a 64-deep chain; plain propagation
+    schedules ~70 jobs there). Correctness: labels are always ids of
+    component members and only ever decrease (least of component-member
+    labels), and at a fixpoint lab(v) ≤ lab(u) across every (symmetric)
+    edge forces lab constant per component = the component min — the jump
+    term never changes the fixpoint, only how fast it is reached.
+    ``release`` is an upstream cached frame to unpersist once the edge
+    list is checkpointed.
+    """
     n_parts = propagation_partitions(n_edges, edges_per_task)
     edges = raw.repartition(n_parts, "s").localCheckpoint()  # cut pair-gen lineage
-    raw.unpersist(blocking=False)
+    if release is not None:
+        release.unpersist(blocking=False)
     # only nodes that HAVE edges participate in propagation; the (vast)
     # singleton majority is its own cluster and never enters the loop
     connected = (
@@ -778,34 +1041,47 @@ def _propagate_min_labels(raw: DataFrame, n_edges: int, edges_per_task: int):
         .localCheckpoint()
     )
     labels = connected.select("doc_id", F.col("doc_id").alias("lab"))
-    prev_sum, prev_cached, rounds = None, None, 0
+    prev_sum, rounds = None, 0
     while True:
         neighbor_min = (
             edges.join(labels, edges.s == labels.doc_id)
             .groupBy(F.col("d").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+        # pointer jump: lab(lab(v)) via a self-join of the CACHED label
+        # table (x.lab → y.doc_id); lab(v) is always a connected-node id,
+        # so the left join matches except transiently — coalesce keeps it
+        # total. All three label reads in this round's plan hit the same
+        # cache/checkpoint; nothing is evaluated twice.
+        x, y = labels.alias("x"), labels.alias("y")
+        jumped = x.join(y, F.col("x.lab") == F.col("y.doc_id"), "left").select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.least(
+                F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
+            ).alias("jlab"),
+        )
+        new_labels = jumped.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
-            F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            F.least(F.col("jlab"), F.coalesce("nlab", "jlab")).alias("lab"),
         )
         rounds += 1
-        if rounds % 8 == 0:
-            # periodic hard cut so plan analysis stays O(1) per round even
-            # on a pathologically deep component chain; eager=False so the
-            # checkpoint materializes inside the SAME convergence-sum action
-            # below — one job per round holds on cut rounds too
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.persist()
+        # hard lineage cut EVERY round (r20): the pointer jump references
+        # the label table twice, and the analyzer DEDUPLICATES the
+        # self-join's attribute ids — the deduplicated reference no longer
+        # matches the cache entry, so persist() leaves it re-executing the
+        # whole previous round's subtree (measured: round wall time and
+        # job count doubling per round on a 64-chain). A LogicalRDD cut
+        # makes all three label reads leaf scans of one materialized RDD.
+        # Cost: localCheckpoint schedules its own materialization job on
+        # Spark 4.1 even with eager=False, so a round is 2 jobs (cut +
+        # convergence sum) — 2·O(log d) jobs still beats the plain
+        # propagation's 1·O(d) from diameter ~4 up, and the sum job only
+        # re-scans the checkpointed labels.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # labels only ever decrease, so the label sum is a strictly
-        # monotone convergence metric. The aggregate is the SAME action
-        # that fills the round's cache: one job per round (round 2 paid
-        # two — an eager localCheckpoint plus a separate collect).
+        # monotone convergence metric.
         new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
-        if prev_cached is not None:
-            prev_cached.unpersist(blocking=False)
-        prev_cached, labels = new_labels, new_labels
+        labels = new_labels
         if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -412,3 +412,147 @@ def test_l5d_re2_path_matches_java_regex_expressions(spark):
     )
     got = load_all()["l5d_redact_pii"].spark_fn(spark, SF).toPandas()
     assert got.reset_index(drop=True).astype(str).equals(want.reset_index(drop=True).astype(str))
+
+
+def test_propagation_pointer_jumping_converges_in_log_rounds(spark):
+    """r20: the distributed label-propagation phase pointer-jumps
+    (lab(lab(v)) folded into each round), so a 64-deep path component must
+    converge in O(log d) one-job rounds — plain min-propagation needs ~64.
+    Also asserts the labels are exactly the component minimum."""
+    import pyspark.sql.functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import _propagate_min_labels
+
+    n = 64
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    raw = pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sc = spark.sparkContext
+    grp = "l2e-pointer-jump-pin"
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # 1 job per round
+    try:
+        sc.setJobGroup(grp, grp, interruptOnCancel=False)
+        labels, connected = _propagate_min_labels(
+            raw, 2 * (n - 1), edges_per_task=1_000_000
+        )
+        out = labels.toPandas()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert len(out) == n
+    assert (out["lab"] == 0).all()  # one component, min id 0
+    # jobs in the group: edge/connected checkpoint setup + rounds (2 jobs
+    # each: lineage-cut materialization + convergence sum) + toPandas.
+    # Pointer jumping reaches fixpoint on a 64-chain in ~9 rounds (label
+    # deficit doubles per round) → ~22 jobs; plain propagation schedules
+    # ~70 (one per diameter step).
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(grp))
+    assert n_jobs <= 24, f"propagation scheduled {n_jobs} jobs on a 64-chain"
+
+
+def test_xxh64_bytes_kernel_matches_jvm_strings(spark):
+    """The vectorized variable-length XXH64 (r20 shingle kernel) must be
+    BIT-IDENTICAL to F.xxhash64(string) for arbitrary UTF-8 strings —
+    every length class (empty, <4, <8, <32, stripes, tails) and multibyte
+    code points. Also pins the by-value pickling qualnames."""
+    import random
+
+    import numpy as np
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import (
+        _trigram_shingles,
+        _xxh64_bytes_slices,
+    )
+
+    assert "<locals>" in _xxh64_bytes_slices.__qualname__
+    assert "<locals>" in _trigram_shingles.__qualname__
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789ÜüßéΩ漢字🚀"
+    cases = [""]
+    for length in list(range(1, 70)) + [127, 128, 200, 1000]:
+        cases.append("".join(rng.choice(alphabet) for _ in range(length)))
+    jvm = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(F.xxhash64("s"))
+        .collect()
+    ]
+    bs = [c.encode("utf-8") for c in cases]
+    data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    lens = np.array([len(b) for b in bs], np.int64)
+    starts = np.zeros(len(bs), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ours = _xxh64_bytes_slices(data, starts, lens, 42).view(np.int64)
+    assert [int(v) for v in ours] == jvm
+
+
+def test_trigram_kernel_matches_jvm_shingle_chain(spark):
+    """The fused mapInArrow trigram stage (r20, trigram_shingle_rows) must
+    emit exactly the rows of the JVM chain it replaced — split(lower(text))
+    → per-window concat_ws+xxhash64 → array_distinct → explode, with the
+    per-doc distinct count — including the degenerate shapes: empty text,
+    <3 tokens, consecutive/leading spaces, NULL text/lang, multibyte."""
+    from olr_cdc_oracle_with_dbz_spark.llmops.dedup import trigram_shingle_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    extra = spark.createDataFrame(
+        [
+            (90001, "", "en"),
+            (90002, "one two", "en"),
+            (90003, "a  b  c", "en"),
+            (90004, None, "en"),
+            (90005, "Ü ß 漢字 x🚀y z", "de"),
+            (90006, "  ", "en"),
+            (90007, "a b c d e", None),
+            (90008, " a b", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    both = docs.unionByName(extra)
+
+    toks = both.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    old = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 3),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ts", i + 1),
+                            F.element_at("ts", i + 2),
+                            F.element_at("ts", i + 3),
+                        )
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
+            F.explode("sh").alias("shingle"),
+        )
+        .toPandas()
+        .sort_values(["doc_id", "shingle"])
+        .reset_index(drop=True)
+        .astype({"sz": "int64"})
+    )
+    for use_kernel in (True, False):
+        new = (
+            trigram_shingle_rows(both, use_kernel=use_kernel)
+            .toPandas()
+            .sort_values(["doc_id", "shingle"])
+            .reset_index(drop=True)
+            .astype({"sz": "int64"})
+        )
+        assert old.equals(new), f"use_kernel={use_kernel} diverged"

@@ -132,19 +132,21 @@ def test_global_topk_is_take_ordered(spark, sf_dir, reg):
 
 
 def test_minhash_signatures_zero_shuffle(spark, sf_dir):
-    """MinHash signatures are a pure per-row map (in-row shingle array +
-    one vectorized Arrow kernel for the permutation minima) — the plan
-    must contain NO exchange at all: signatures cost exactly one scan at
-    any corpus size. The kernel must ride Arrow (ArrowEvalPython), never
-    the row-pickling BatchEvalPython path; its XXH64 arithmetic is pinned
-    bit-identical to the JVM in test_llmops."""
+    """MinHash signatures are a pure per-row map (one fused Arrow kernel:
+    shingle hashing from the raw text buffer + the permutation minima) —
+    the plan must contain NO exchange at all: signatures cost exactly one
+    scan at any corpus size. The kernel must ride Arrow (MapInArrow since
+    r20 — the r19 shape was a JVM HOF shingle chain feeding an
+    ArrowEvalPython pandas UDF), never the row-pickling BatchEvalPython
+    path; its XXH64 arithmetic is pinned bit-identical to the JVM in
+    test_llmops."""
     from olr_cdc_oracle_with_dbz_spark.llmops.dedup import minhash_signatures
 
     docs = Catalog(spark, sf_dir).documents
     plan = _plan(minhash_signatures(docs))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
-    assert "ArrowEvalPython" in plan  # the vectorized permutation kernel
+    assert "MapInArrow" in plan  # the fused shingle+permutation kernel
 
 
 def test_l2d_block_pairs_distributed_no_cartesian(spark, sf_dir, reg):
