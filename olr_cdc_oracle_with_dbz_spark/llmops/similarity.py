@@ -24,10 +24,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.functions.generators import (
-    explode_once,
-    posexplode_once,
-)
+from olr_cdc_oracle_with_dbz_spark.functions.generators import posexplode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
 from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered
 
@@ -334,57 +331,47 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cogroup_gemm_topk(
-    corpus: DataFrame, queries: DataFrame, keys: list[str], k: int = _TOP_K
-) -> DataFrame:
-    """Shared ANN rerank kernel: cogroup corpus (neighbor_id, cv, cn) and
-    probing queries (query_id, qv, qn) on ``keys``; each group scores in
-    ONE BLAS matmul and emits only its per-group top-k per query (the
-    union of per-group top-k contains the global top-k, since a group's
-    pairs are a subset of the query's global candidates). Replaces the
-    candidate pair-join + per-pair aggregate() fold, which made the approx
-    paths slower than the exact L3 GEMM at sf0.1."""
+def _make_fixedlist_matrix():
+    """Factory (pickle BY VALUE) for zero-copy Arrow list<float64> →
+    (n, dim) numpy view: when every list has the same length, the list
+    array's flat values buffer IS the row-major matrix — no per-row
+    np.asarray + vstack (which profiled as the dominant cost of the
+    assignment UDF). Falls back to vstack for ragged/null lists."""
 
-    def score_group(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cdf["cv"]])
-        qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["qv"]])
-        sims = np.round(
-            (qm @ cm.T)
-            / np.outer(qdf["qn"].to_numpy(np.float64), cdf["cn"].to_numpy(np.float64)),
-            6,
-        )
-        nid = cdf["neighbor_id"].to_numpy(np.int64)
-        out = []
-        for i, qid in enumerate(qdf["query_id"].to_numpy(np.int64)):
-            keep = nid != qid
-            # per-group top-k with the global tie rule (cosine desc, id asc)
-            order = np.lexsort((nid[keep], -sims[i, keep]))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": nid[keep][order],
-                        "cosine": sims[i, keep][order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+    def fixedlist_matrix(arr):
+        import numpy as np
+        import pyarrow as pa
 
-    return (
-        corpus.select(*keys, "neighbor_id", "cv", "cn")
-        .groupBy(*keys)
-        .cogroup(queries.select(*keys, "query_id", "qv", "qn").groupBy(*keys))
-        .applyInPandas(
-            lambda c, q: score_group(c, q),
-            "query_id long, neighbor_id long, cosine double",
-        )
-    )
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        vt = arr.type.value_type
+        np_vt = {pa.float32(): np.float32, pa.float64(): np.float64}.get(vt)
+        if np_vt is not None and arr.null_count == 0 and n:
+            offs = np.frombuffer(
+                arr.buffers()[1], np.int32, count=arr.offset + n + 1
+            )[arr.offset :].astype(np.int64)
+            widths = np.diff(offs)
+            if (widths == widths[0]).all():
+                dim = int(widths[0])
+                vals = arr.values
+                flat = np.frombuffer(
+                    vals.buffers()[1], np_vt, count=len(vals) + vals.offset
+                )[vals.offset :]
+                mat = flat[offs[0] : offs[0] + n * dim].reshape(n, dim)
+                # float32 storage upcasts exactly — identical values to
+                # the JVM's element-wise cast(double) the kernels compare
+                # against
+                return np.ascontiguousarray(mat, dtype=np.float64)
+        return np.vstack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+    return fixedlist_matrix
+
+
+_fixedlist_matrix = _make_fixedlist_matrix()
 
 
 _IVF_CELLS, _IVF_NPROBE = 16, 6
-_IVF_BLOCK_ROWS = 8192  # max corpus rows per cogrouped GEMM block
 
 
 _IVF_LLOYD_ITERS = 2
@@ -407,12 +394,15 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries only cells × dim doubles after map-side combine, and
     only the cells × dim centroid table ever reaches the driver. Every
     corpus vector lands in ONE cell; each query probes its ``nprobe``
-    nearest cells. Candidate scoring cogroups corpus and probing queries
-    on (cell, block) — the corpus side never broadcasts and never
-    cross-joins, each cell scores in one BLAS matmul, and only per-cell
-    top-k rows leave the group. That is what scales: at 100 TB the cells
-    ARE the partitioning, a query touches nprobe/cells of the data, and
-    the block salt bounds group memory. Recall vs exact L3 is pytest-enforced and
+    nearest cells. Candidate scoring is ONE fused mapInArrow pass over the
+    corpus (r20; see the in-function comment): the bounded probing-query
+    table broadcasts per cell, each corpus batch assigns its rows and
+    scores each present cell against only that cell's probing queries in
+    one BLAS matmul, and only per-(batch, cell) top-k rows leave the
+    kernel. That is what scales: the corpus never broadcasts, never
+    cross-joins, and never shuffles below the top-k merge; a query's
+    compute touches nprobe/cells of the data; batch size bounds kernel
+    memory. Recall vs exact L3 is pytest-enforced and
     driver-gated (l4cv floor history 0.40 → 0.48 → 0.60: 2 Lloyd rounds +
     nprobe 6 measure 0.68–0.76 across sf0.001/0.01/0.1 vs 0.55–0.61 at
     nprobe 4 and 0.50 seed-only; ≥0.08 margin absorbs avg-reduction-order
@@ -489,47 +479,89 @@ def l4c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         superseded.destroy()
     _IVF_INDEX_CACHE[cache_key] = bc.value
 
-    # explode_once on both sides: a plain explode of the assignment-UDF
-    # output re-runs it twice per row (functions/generators.py)
-    corpus = explode_once(
-        emb,
-        [
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("vec").alias("cv"),
-            F.col("norm").alias("cn"),
-        ],
-        cells_of(1, bc)("vec"),
-        "cell",
+    # Probe + rerank in ONE fused mapInArrow pass over the corpus (r20;
+    # the r18/r19 shape was: corpus assignment UDF → explode → (cell,blk)
+    # shuffle → cogroup applyInPandas GEMM, plus a query-side subplan with
+    # its own assignment UDF — profiled 0.23 s assignment + 0.31 s
+    # cogroup/query side of l4c's 0.75 s execution). The bounded query
+    # side (vec_id < _N_QUERIES) is resolved DRIVER-side: the pyarrow
+    # query matrix (zero Spark jobs, the l3/l4b discipline) probed against
+    # the cached centroids with the exact numpy ops the assignment UDF
+    # used, then broadcast per cell. Each corpus Arrow batch then assigns
+    # its rows to cells with one small GEMM (zero-copy list→matrix view),
+    # and scores each present cell against only the queries probing it —
+    # the same nprobe/cells compute fraction as the cogroup, with the
+    # corpus crossing the Python boundary ONCE and never shuffled.
+    # Per-pair cosines are IDENTICAL to the cogroup form: corpus/query
+    # norms use the k-ascending fold (the l3 bit-exactness pattern,
+    # matching with_norm's JVM fold), the GEMM dot reduces the same 64
+    # components, and the global window keeps top-k invariant to how
+    # batches group candidates (per-group top-k ⊇ global top-k per
+    # group). Verified output-identical to the cogroup form at
+    # sf0.001/0.01/0.1; l4cv recall gate unchanged.
+    #
+    # 100 TB shape: the index (cells × dim) broadcasts; the corpus
+    # streams through scan partitions with no exchange; per-batch group
+    # memory is bounded by the Arrow batch size (the blk salt the cogroup
+    # needed for cell-sized groups becomes unnecessary). In a real vector
+    # store the cells additionally prune I/O via the stored inverted
+    # file; the kernel preserves the compute-side pruning here.
+    q_ids, q_mat = _query_matrix(sf_dir)
+    q_nrm = np.sqrt(_fold_dot_rows(q_mat, q_mat))  # with_norm's fold, exactly
+    cents = bc.value
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_top = np.argsort(-(q_unit @ cents.T), axis=1)[:, :_IVF_NPROBE]
+    cell_queries = [
+        np.nonzero((q_top == c).any(axis=1))[0] for c in range(cents.shape[0])
+    ]
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, cell_queries, cents))
+    k = _TOP_K
+
+    def probe_topk(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        ids_q, mat_q, nrm_q, cell_q, cts = bq.value
+        for batch in batches:
+            names = batch.schema.names
+            c_ids = np.asarray(batch.column(names.index("vec_id")), dtype=np.int64)
+            if not len(c_ids):
+                continue
+            c_mat_b = _fixedlist_matrix(batch.column(names.index("embedding")))
+            c_nrm = np.sqrt(_fold_dot_rows(c_mat_b, c_mat_b))
+            unit = c_mat_b / np.linalg.norm(c_mat_b, axis=1, keepdims=True)
+            # nearest centroid — identical arithmetic to the assignment
+            # UDF (normalize → GEMM → top-1 by descending similarity)
+            cellv = np.argsort(-(unit @ cts.T), axis=1)[:, 0]
+            out = []
+            for c in np.unique(cellv):
+                qidx = cell_q[int(c)]
+                if not len(qidx):
+                    continue
+                rows = np.nonzero(cellv == c)[0]
+                sims = np.round(
+                    (mat_q[qidx] @ c_mat_b[rows].T)
+                    / np.outer(nrm_q[qidx], c_nrm[rows]),
+                    6,
+                )
+                nid = c_ids[rows]
+                for i, qi in enumerate(qidx):
+                    keep = nid != ids_q[qi]
+                    order = np.lexsort((nid[keep], -sims[i, keep]))[:k]
+                    for nd, s in zip(nid[keep][order], sims[i, keep][order]):
+                        out.append((int(ids_q[qi]), int(nd), float(s)))
+            if out:
+                pdf = pd.DataFrame(
+                    out, columns=["query_id", "neighbor_id", "cosine"]
+                )
+                yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+    cand = (
+        Catalog(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .mapInArrow(probe_topk, "query_id long, neighbor_id long, cosine double")
     )
-    queries = explode_once(
-        emb.filter(F.col("vec_id") < _N_QUERIES),
-        [
-            F.col("vec_id").alias("query_id"),
-            F.col("vec").alias("qv"),
-            F.col("norm").alias("qn"),
-        ],
-        cells_of(_IVF_NPROBE, bc)("vec"),
-        "cell",
-    )
-    # Rerank: per-cell GEMM instead of a pair-join. Materializing
-    # |queries| × nprobe/cells × |corpus| candidate ROWS and folding a
-    # 64-element aggregate() per pair is the slow path (it made the
-    # "approx" IVF slower than the exact L3 GEMM at sf0.1, 3.8 s vs
-    # 0.8 s); cogrouping corpus and probing queries on cell id scores a
-    # whole cell in one BLAS matmul per Arrow batch and only per-cell
-    # top-k rows ever leave the group. Cells are capped to
-    # ``_IVF_BLOCK_ROWS`` corpus rows by a deterministic hash salt (the
-    # l2d block-matrix pattern) so group memory is bounded at any corpus
-    # size — at 100 TB the (cell, blk) key IS the partitioning, and the
-    # shuffle carries each corpus vector exactly once.
-    n_blocks = int(n // (_IVF_CELLS * _IVF_BLOCK_ROWS)) + 1
-    corpus_b = corpus.withColumn(
-        "blk", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_blocks)).cast("int")
-    )
-    queries_b = queries.withColumn(
-        "blk", F.explode(F.array([F.lit(i) for i in range(n_blocks)]))
-    )
-    cand = _cogroup_gemm_topk(corpus_b, queries_b, ["cell", "blk"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))

@@ -247,13 +247,23 @@ def test_udf_explodes_evaluate_signature_once(spark, sf_dir, reg):
     per lsh_buckets/cells_of call site in the plan."""
     plan = _plan(reg["l4_ann_lsh"].spark_fn(spark, sf_dir))
     assert plan.count("ArrowEvalPython") == 2  # one per side (query, corpus)
+    # l4c (r20 shape): probe + rerank are ONE fused MapInArrow pass over
+    # the corpus — no assignment-UDF projections left in the query plan
+    # (the Lloyd build's UDFs run at construction), no cogroup dispatch,
+    # no exchange below the top-k window, and never a candidate pair-join
+    # (r6: the pair-join + per-pair aggregate() dot made approx slower
+    # than exact brute force at sf0.1).
     plan_ivf = _plan(reg["l4c_ann_ivf"].spark_fn(spark, sf_dir))
-    assert plan_ivf.count("ArrowEvalPython") == 2  # corpus cells + query probes
-    # rerank must be the cogrouped per-cell GEMM, not a candidate pair-join
-    # (r6: the pair-join + per-pair aggregate() dot made approx slower than
-    # exact brute force at sf0.1)
-    assert "FlatMapCoGroupsInPandas" in plan_ivf
+    assert "MapInArrow" in plan_ivf
+    assert "ArrowEvalPython" not in plan_ivf
+    assert "FlatMapCoGroupsInPandas" not in plan_ivf
     assert "SortMergeJoin" not in plan_ivf and "BroadcastHashJoin" not in plan_ivf
+    # the corpus is never shuffled before the kernel: everything below
+    # the MapInArrow node is projection/scan only (the plan prints
+    # children below their parent, so the kernel's subtree is the text
+    # after its node line)
+    below_kernel = plan_ivf[plan_ivf.index("MapInArrow") :]
+    assert "Exchange" not in below_kernel
 
 
 def test_range_join_is_banded_equi_join(spark, sf_dir, reg):
