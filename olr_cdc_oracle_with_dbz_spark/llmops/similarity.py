@@ -24,9 +24,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from olr_cdc_oracle_with_dbz_spark.catalog import Catalog
-from olr_cdc_oracle_with_dbz_spark.functions.generators import posexplode_once
 from olr_cdc_oracle_with_dbz_spark.registry import register
-from olr_cdc_oracle_with_dbz_spark.plans.canonical import fround, ordered
+from olr_cdc_oracle_with_dbz_spark.plans.canonical import ordered
 
 _TOP_K = 5
 _N_QUERIES = 100  # vec_id < 100 are the query vectors
@@ -198,12 +197,6 @@ def _gemm_width(spark: SparkSession, sf_dir: str) -> int:
 _N_TABLES, _BITS_PER_TABLE = 12, 8
 
 
-def _plane_component(dim_idx: int, plane: int):
-    """Deterministic ±1 hyperplane component from md5(plane, dim)."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}:dim{dim_idx}")), 1, 8), 16, 10)
-    return (h.cast("bigint") % 2) * 2 - 1
-
-
 def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic ±1 hyperplane matrix (md5-seeded, engine-independent)."""
     import hashlib
@@ -216,60 +209,6 @@ def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     return mat
 
 
-def lsh_buckets(
-    emb: DataFrame,
-    n_tables: int = _N_TABLES,
-    bits: int = _BITS_PER_TABLE,
-    dim: int = 64,
-    multiprobe: bool = False,
-) -> DataFrame:
-    """Attach (tbl, bucket) rows per vector: multi-table sign-LSH.
-
-    Each table hashes with its own ``bits`` hyperplanes; a vector lands in
-    one bucket per table, so near neighbors collide in ≥1 table with high
-    probability (recall grows with tables, precision with bits per table).
-
-    ``multiprobe=True`` (query side only) additionally probes every bucket
-    at Hamming distance 1 from the signature — ``bits + 1`` buckets per
-    table. On near-orthogonal vectors (this corpus: median top-1 cosine
-    ≈ 0.37) a single-bucket probe needs impractically many tables for
-    usable recall; Hamming-1 multiprobe buys the same recall for a
-    ``bits+1`` fan-out of the SMALL query side while the corpus keeps one
-    bucket per table (Lv et al., VLDB'07 multi-probe LSH).
-
-    Signatures are computed in ONE vectorized pandas UDF (a single GEMM of
-    the Arrow batch against the plane matrix) — the expression-tree form
-    (n_tables·bits·dim codegen terms) measured ~50× slower.
-    """
-    planes = _plane_matrix(n_tables * bits, dim)
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    n_probes = bits + 1 if multiprobe else 1
-
-    @pandas_udf("array<long>")
-    def buckets_of(vecs: pd.Series) -> pd.Series:
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (m @ planes.T) > 0  # (n, tables*bits)
-        signs = signs.reshape(len(m), n_tables, bits)
-        bks = (signs * weights).sum(axis=2)  # (n, tables)
-        if multiprobe:
-            flips = bks[:, :, None] ^ weights[None, None, :]  # (n, tables, bits)
-            bks = np.concatenate([bks[:, :, None], flips], axis=2)
-        return pd.Series(list(bks.reshape(len(m), -1)))
-
-    # posexplode_once: a plain posexplode of the UDF output re-runs the
-    # signature GEMM twice per row (InferFiltersFromGenerate inlines the
-    # computed array into a size>0 filter — functions/generators.py)
-    return posexplode_once(
-        emb, ["vec_id", "vec", "norm"], buckets_of("vec"), "pos", "bucket"
-    ).select(
-        "vec_id",
-        "vec",
-        "norm",
-        (F.col("pos") / n_probes).cast("int").alias("tbl"),
-        "bucket",
-    )
-
-
 @register("l4_ann_lsh", oracle=None, approx=True, tags=("llm", "similarity"))
 def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 (APPROX): multi-table sign-LSH ANN with exact rerank in buckets.
@@ -280,48 +219,111 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 kept. Recall vs L3 is pytest- and driver-enforced (l4v).
 
     The multiprobe fan-out lands on the bounded query side (queries ×
-    tables × (bits+1) rows); the corpus side stays one row per (vector,
-    table), so at 100 TB the corpus signature table is 12× the id column
-    — the buckets ARE the partitioning, same as the IVF cells.
+    tables × (bits+1) buckets), resolved DRIVER-side and broadcast; the
+    corpus is scored in ONE fused mapInArrow pass (r20; the r19 shape was
+    signature UDFs on both sides + bucket explode + corpus repartition +
+    broadcast equi-join with interpreted per-candidate cosine folds +
+    dropDuplicates — every stage of which this kernel absorbs). Each
+    corpus batch computes its 12 table signatures with one GEMM against
+    the plane matrix, collects the (query, row) collisions from the
+    broadcast bucket index, dedups cross-table collisions batch-locally
+    (a corpus vector lives in exactly one batch, so pairs never span
+    batches), re-scores with the exact k-ascending fold and the
+    fround-twin rounding, and emits its per-query top-5; the global
+    window merges batch winners. Verified output bit-identical to the
+    join form at sf0.001/0.01/0.1; l4v recall gate unchanged.
+
+    100 TB shape: the corpus never broadcasts, joins, or shuffles below
+    the top-k merge — the broadcast is queries × tables × (bits+1) bucket
+    ids plus the 100-row query matrix; in a real store the signature
+    table additionally prunes I/O, while here (as in the r19 join form)
+    the corpus is scanned once either way.
     """
-    emb = with_norm(Catalog(spark, sf_dir).embeddings)
-    q = lsh_buckets(emb.filter(F.col("vec_id") < _N_QUERIES), multiprobe=True).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("norm").alias("qn"),
-        "tbl",
-        "bucket",
-    )
-    c = lsh_buckets(emb).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        F.col("norm").alias("cn"),
-        "tbl",
-        "bucket",
-    )
-    # Rerank stays a bucket equi-join (NOT the IVF's cogroup kernel: with
-    # tables × 2^bits ≈ 3k tiny groups the per-group overhead loses to the
-    # join — measured 2.2 s vs 1.3 s interleaved at sf0.1; the cogroup wins
-    # only for the IVF's ~16 big cells). But the cosine is computed BEFORE
-    # the cross-table dedup, so the dropDuplicates exchange carries 24-byte
-    # (ids, cosine) rows instead of both 64-dim vectors — a duplicate
-    # collision re-folds one dot product instead of shuffling a kilobyte.
-    #
-    # Join-side assignment is explicit (guide §3.1): left to the planner,
-    # the CORPUS bucket table broadcast (12 vector copies inside a hashed
-    # relation) and the per-candidate cosine folds ran on the query scan's
-    # 1-2 tasks. Broadcasting the bounded QUERY side instead — the only
-    # side that stays broadcastable at 100 TB — keeps the corpus streamed,
-    # and the hash repartition on the join key spreads the fold-heavy join
-    # stage across the pool (the corpus arrives as one MB-scale scan split
-    # locally; on a cluster this exchange is the rerank's parallelism dial).
-    cos = fround(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    q_ids, q_mat = _query_matrix(sf_dir)  # bounded small side, zero Spark jobs
+    q_nrm = np.sqrt(_fold_dot_rows(q_mat, q_mat))  # with_norm's fold, exactly
+    dim = q_mat.shape[1]
+    planes = _plane_matrix(_N_TABLES * _BITS_PER_TABLE, dim)
+    weights = (1 << np.arange(_BITS_PER_TABLE)).astype(np.int64)
+    # query buckets + Hamming-1 multiprobe, the same arithmetic
+    # lsh_buckets' kernel ran ((n, dim) @ planes.T sign GEMM)
+    signs = (q_mat @ planes.T) > 0
+    bks = (signs.reshape(len(q_mat), _N_TABLES, _BITS_PER_TABLE) * weights).sum(axis=2)
+    probes = np.concatenate(
+        [bks[:, :, None], bks[:, :, None] ^ weights[None, None, :]], axis=2
+    )  # (nq, tables, bits+1)
+    bucket_index: list[dict] = []
+    for t in range(_N_TABLES):
+        d: dict[int, list[int]] = {}
+        for qi in range(len(q_mat)):
+            for b in probes[qi, t]:
+                d.setdefault(int(b), []).append(qi)
+        bucket_index.append({b: np.array(v, np.int64) for b, v in d.items()})
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, bucket_index, planes, weights))
+    k, n_tables, n_bits = _TOP_K, _N_TABLES, _BITS_PER_TABLE
+
+    def lsh_topk(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        ids_q, mat_q, nrm_q, bindex, pl, w8 = bq.value
+        for batch in batches:
+            names = batch.schema.names
+            c_ids = np.asarray(batch.column(names.index("vec_id")), dtype=np.int64)
+            if not len(c_ids):
+                continue
+            cm = _fixedlist_matrix(batch.column(names.index("embedding")))
+            cn = np.sqrt(_fold_dot_rows(cm, cm))
+            sgn = (cm @ pl.T) > 0
+            cb = (sgn.reshape(len(cm), n_tables, n_bits) * w8).sum(axis=2)
+            qs, rs = [], []
+            for t in range(n_tables):
+                bt = bindex[t]
+                col = cb[:, t]
+                for b in np.unique(col):
+                    qidx = bt.get(int(b))
+                    if qidx is None:
+                        continue
+                    rows = np.nonzero(col == b)[0]
+                    qs.append(np.repeat(qidx, len(rows)))
+                    rs.append(np.tile(rows, len(qidx)))
+            if not qs:
+                continue
+            qi = np.concatenate(qs)
+            ri = np.concatenate(rs)
+            # cross-table dedup, batch-local (pairs never span batches)
+            pair = np.unique(qi * np.int64(len(c_ids)) + ri)
+            qi, ri = pair // len(c_ids), pair % len(c_ids)
+            keep = ids_q[qi] != c_ids[ri]
+            qi, ri = qi[keep], ri[keep]
+            if not len(qi):
+                continue
+            # exact rerank: k-ascending fold dot (the JVM aggregate/zip_with
+            # order) and the fround twin — the same doubles the join form's
+            # fround(_dot(qv, cv) / (qn·cn)) produced
+            dots = _fold_dot_rows(mat_q[qi], cm[ri])
+            cos = _np_fround6(dots / (nrm_q[qi] * cn[ri]))
+            out_q, out_n, out_c = [], [], []
+            for u in np.unique(qi):
+                sel = qi == u
+                nid, cv = c_ids[ri[sel]], cos[sel]
+                order = np.lexsort((nid, -cv))[:k]
+                out_q.append(np.full(len(order), ids_q[u], np.int64))
+                out_n.append(nid[order])
+                out_c.append(cv[order])
+            pdf = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
     cand = (
-        c.repartition(spark.sparkContext.defaultParallelism, "tbl", "bucket")
-        .join(F.broadcast(q), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        Catalog(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .mapInArrow(lsh_topk, "query_id long, neighbor_id long, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -329,6 +331,55 @@ def l4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .transform(ordered, "query_id", "rnk")
     )
+
+
+def _make_np_fround6():
+    """Factory (pickle BY VALUE) for the numpy twin of
+    ``plans.canonical.fround(col, 6)`` — i.e. of ``F.round(x, 6)``:
+    half-away-from-zero on the binary product outside the boundary band,
+    BigDecimal-equivalent shortest-repr HALF_UP (via ``decimal`` on
+    ``repr(x)``) inside the band where the two can disagree. Needed so a
+    Python kernel can emit the very same doubles the JVM expression it
+    replaces produced (np.round is half-to-EVEN — a different rule)."""
+
+    def np_fround6(x):
+        import numpy as np
+
+        y = x * 1e6
+        a = np.abs(y)
+        m = np.floor(a)
+        frac = a - m
+        mag = m + (frac >= 0.5)
+        # + 0.0 normalizes -0.0 → +0.0 (BigDecimal, and fround's long-typed
+        # negation, never produce a negative zero)
+        fast = np.where(y < 0, -mag, mag) / 1e6 + 0.0
+        band = ~(np.abs(frac - 0.5) >= np.maximum(a, 1.0) * 2.0**-48)
+        band |= ~(a < 2.0**52)  # huge/NaN/±inf → exact path
+        if band.any():
+            import decimal
+
+            out = fast.copy()
+            q6 = decimal.Decimal("1e-6")
+            for i in np.nonzero(band)[0]:
+                v = float(x[i])
+                if v != v or v in (float("inf"), float("-inf")):
+                    out[i] = v
+                    continue
+                out[i] = (
+                    float(
+                        decimal.Decimal(repr(v)).quantize(
+                            q6, rounding=decimal.ROUND_HALF_UP
+                        )
+                    )
+                    + 0.0  # Decimal keeps -0E-6; BigDecimal's zero is signless
+                )
+            return out
+        return fast
+
+    return np_fround6
+
+
+_np_fround6 = _make_np_fround6()
 
 
 def _make_fixedlist_matrix():

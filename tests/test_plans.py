@@ -72,9 +72,10 @@ def test_fact_join_not_broadcast_on_fact_side(spark, sf_dir):
 
 
 def test_lsh_candidates_are_equi_join_not_cartesian(spark, sf_dir, reg):
-    """l2 minhash banding + l4 ANN: candidate generation must be an
-    equi-join on (band/table, bucket) — a cartesian/BNL plan means the LSH
-    gating silently degenerated to all-pairs."""
+    """l2 minhash banding + l4 ANN: candidate generation must never plan
+    a cartesian/BNL all-pairs comparison — l2's banding is an equi-join
+    on (band, bucket); l4's bucket matching lives inside its fused
+    kernel (r20) with no join at all."""
     for name in ("l2_minhash_lsh", "l4_ann_lsh"):
         plan = _plan(reg[name].spark_fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
@@ -241,13 +242,16 @@ def test_q23_multi_distinct_partial_below_exchange(spark, sf_dir, reg):
 
 
 def test_udf_explodes_evaluate_signature_once(spark, sf_dir, reg):
-    """l4/l4c: exploding a pandas-UDF output must not re-run the UDF per
-    row (InferFiltersFromGenerate inlines a computed array into a size>0
-    filter — functions/generators.py). Pin: exactly one ArrowEvalPython
-    per lsh_buckets/cells_of call site in the plan."""
-    plan = _plan(reg["l4_ann_lsh"].spark_fn(spark, sf_dir))
-    assert plan.count("ArrowEvalPython") == 2  # one per side (query, corpus)
-    # l4c (r20 shape): probe + rerank are ONE fused MapInArrow pass over
+    """l4/l4c (r20 shape): probe + rerank are ONE fused MapInArrow pass
+    over the corpus — no signature/assignment ArrowEvalPython projections
+    left in the query plan, no cogroup dispatch, and no exchange below
+    the kernel (the corpus is never shuffled; only the top-k window and
+    presentation sort exchange)."""
+    plan_lsh = _plan(reg["l4_ann_lsh"].spark_fn(spark, sf_dir))
+    assert "MapInArrow" in plan_lsh
+    assert "ArrowEvalPython" not in plan_lsh
+    assert "Exchange" not in plan_lsh[plan_lsh.index("MapInArrow") :]
+    # l4c: probe + rerank are ONE fused MapInArrow pass over
     # the corpus — no assignment-UDF projections left in the query plan
     # (the Lloyd build's UDFs run at construction), no cogroup dispatch,
     # no exchange below the top-k window, and never a candidate pair-join

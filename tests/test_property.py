@@ -506,6 +506,7 @@ def _fround_adversarial_values() -> list[float]:
         for off in (0.0, 0.5, 0.25, 1.0 / 3.0):
             vals += [base + off, -(base + off), (base + off) / 1e6]
     vals += [0.0, -0.0, 0.5, -0.5, 1e-300, -1e-300, 5e-7, 4.999999e-7,
+             -5e-7, -4.999999999999999e-7, 4.999999999999999e-7,
              float("inf"), float("-inf"), float("nan")]
     return vals
 
@@ -556,3 +557,51 @@ def test_fround_bit_identical_to_round(spark, extra):
                 f"fround({row['x']!r}, {s}) = {row[f'f{s}']!r} "
                 f"!= F.round = {row[f'r{s}']!r}"
             )
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64,
+                  min_value=-2.0, max_value=2.0),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_np_fround6_matches_f_round(spark, extra):
+    """PROPERTY: the numpy fround twin used by the fused similarity
+    kernels must emit bit-identical doubles to F.round(x, 6) — including
+    the shortest-repr midpoint band where half-away on the binary product
+    diverges from BigDecimal HALF_UP (cosines live in [-1, 1], but the
+    pin sweeps the general adversarial set too)."""
+    import math
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_with_dbz_spark.llmops.similarity import _np_fround6
+
+    assert "<locals>" in _np_fround6.__qualname__  # pickles by value
+    vals = [v for v in _fround_adversarial_values() if not math.isinf(v)]
+    vals += [float(v) for v in extra]
+    ref = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6))
+        .collect()
+    ]
+    mine = _np_fround6(np.array(vals, dtype=np.float64))
+
+    def bits(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return b"nan/null"
+        return struct.pack("<d", float(v))
+
+    for v, a, b in zip(vals, ref, mine):
+        assert bits(a) == bits(b), f"np_fround6({v!r}) = {b!r} != F.round {a!r}"
