@@ -4,7 +4,7 @@
 Usage:
     python scripts/capture_plans.py <suffix> [name ...]
 
-Writes plans/r19/<query>_<suffix>.txt for each named query (default: every
+Writes plans/<round>/<query>_<suffix>.txt (round via PLANS_ROUND_DIR, default r20) for each named query (default: every
 bench-timed query). The session uses the SAME confs as bench.py (hostcal
 thread pool, AQE off, 8 shuffle partitions) so the captured plan is the one
 the bench executes. Queries whose construction runs Spark jobs (l4c Lloyd,
@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import sys
 
-ROUND_DIR = "r19"
+ROUND_DIR = os.environ.get("PLANS_ROUND_DIR", "r20")
 
 
 def main() -> None:
